@@ -1,0 +1,104 @@
+package graft.core
+
+import graft.core.assemble.TextAssembler
+import graft.core.classify.{BlockClassifier, HeuristicClassifier}
+import graft.core.html.{BlockSegmenter, HtmlTokenizer}
+import graft.core.pdf.PdfTextExtractor
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** The extraction kernel: one pure function `PageRow → ExtractedRow`.
+  *
+  * The whole-document analog of the reference's per-page pipeline
+  * (main/main.c:233-297: read → binarize → deskew → segment → features →
+  * classify → assemble). Pure and deterministic — Spark task retries and
+  * speculation are safe; byte-identity per url is achievable.
+  *
+  * Failure is data, not exceptions (reference sentinels ▮/·/XX,
+  * main/ocr.h:208, main/kd.c:233-238 → `failure` taxonomy column).
+  */
+final class Extractor(
+    cfg: ExtractorConfig = ExtractorConfig.default,
+    classifier: BlockClassifier = HeuristicClassifier) extends Serializable {
+
+  def extract(url: String, bytes: Array[Byte], lang: String): ExtractedRow = {
+    val nIn = if (bytes == null) 0L else bytes.length.toLong
+    def row(text: String, spans: Seq[Span], failure: String, nBlocks: Int): ExtractedRow =
+      ExtractedRow(url, text, spans, failure, nBlocks, text.length, nIn, lang)
+
+    try {
+      if (bytes == null || bytes.length == 0) row("", Nil, Failure.Empty, 0)
+      else if (bytes.length > cfg.maxPayloadBytes) row("", Nil, Failure.Oversize, 0)
+      else if (Extractor.isPdf(bytes)) {
+        PdfTextExtractor.extract(bytes, cfg) match {
+          case Some((text, spans)) if text.exists(!_.isWhitespace) =>
+            row(text, spans, Failure.Ok, spans.length)
+          case Some(_) => row("", Nil, Failure.Empty, 0)
+          case None => row("", Nil, Failure.ParseError, 0)
+        }
+      } else if (Extractor.looksLikeHtml(bytes)) {
+        val decoded = Extractor.decode(bytes)
+        val tokens = HtmlTokenizer.tokenize(decoded, cfg.maxTokens)
+        val blocks = BlockSegmenter.segment(tokens)
+        if (blocks.isEmpty) row("", Nil, Failure.Empty, 0)
+        else {
+          val kept = classifier.classify(blocks, cfg)
+          val (text, spans) = TextAssembler.assembleBlocks(kept, cfg, lang)
+          if (text.isEmpty) row("", Nil, Failure.Empty, 0)
+          else row(text, spans, Failure.Ok, spans.length)
+        }
+      } else row("", Nil, Failure.Unsupported, 0)
+    } catch {
+      case scala.util.control.NonFatal(_) => row("", Nil, Failure.ParseError, 0)
+    }
+  }
+
+  def extract(page: PageRow): ExtractedRow = extract(page.url, page.html, page.lang)
+}
+
+object Extractor {
+  val default: Extractor = new Extractor()
+
+  /** %PDF magic (reference sniffs TIFF-vs-PDF upstream, main/Makefile:70-93). */
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  /** HTML sniff: a '<' among the first non-whitespace bytes and mostly
+    * text-looking content (no NUL in the first 512 bytes). */
+  def looksLikeHtml(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, 512)
+    var i = 0
+    var sawLt = false
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0) return false
+      if (!sawLt) {
+        if (b == '<') sawLt = true
+        else if (!Character.isWhitespace(b.toChar) && i > 64) return false
+      }
+      i += 1
+    }
+    sawLt
+  }
+
+  private val charsetPattern =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.-]+)")
+
+  /** Charset detection: BOM, else meta-charset sniff over the first 1024
+    * bytes, else UTF-8. Bad bytes decode to U+FFFD (fixed policy — SURVEY
+    * §7.4.2). */
+  def decode(bytes: Array[Byte]): String = {
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF && (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+      return new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+    val head = new String(bytes, 0, math.min(bytes.length, 1024), StandardCharsets.ISO_8859_1)
+    val m = charsetPattern.matcher(head)
+    val cs: Charset =
+      if (m.find()) {
+        val name = m.group(1).toLowerCase
+        if (name == "iso-8859-1" || name == "latin1" || name == "latin-1" || name == "windows-1252")
+          StandardCharsets.ISO_8859_1
+        else StandardCharsets.UTF_8
+      } else StandardCharsets.UTF_8
+    new String(bytes, cs) // CharsetDecoder default REPLACE via String ctor
+  }
+}

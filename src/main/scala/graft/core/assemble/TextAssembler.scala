@@ -1,0 +1,131 @@
+package graft.core.assemble
+
+import graft.core.{Block, ExtractorConfig, Span}
+
+/** Text + span assembly — THIS FILE OWNS THE BYTE CONTRACT.
+  *
+  * The analog of the reference's text emitter (collectText + displayText,
+  * main/gtkDisplay.c:202-365) and its post-processing normalizer battery
+  * (fixutf8.pl). Every rule here is order-sensitive and pinned by unit tests;
+  * the FixtureGen oracle calls these same pure functions on its known
+  * source-of-truth content strings, so segmentation+classification are tested
+  * against an independently assembled expectation.
+  *
+  * Output contract:
+  *   - kept blocks, document order, each normalized by [[normalizeBlock]];
+  *   - blocks joined by "\n\n";
+  *   - non-empty output always ends with exactly one "\n" (the reference
+  *     ensures a trailing newline, main/gtkDisplay.c:326-332);
+  *   - spans(i) = [begin, end) of block i's text in the output, kind = block
+  *     kind; the trailing "\n" and the "\n\n" separators are outside spans.
+  */
+object TextAssembler {
+
+  /** Ordered character-level normalizations (P1 analog, fixutf8.pl:16-45).
+    * ORDER MATTERS; applied before whitespace collapse. */
+  def normalizeChars(s: String): String = {
+    if (s.isEmpty) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        // 1. soft hyphen stripped (fixutf8.pl soft-hyphen rule)
+        case '\u00AD' =>
+        // 2. zero-width chars stripped (ZWSP, ZWNJ, ZWJ, BOM)
+        case '\u200B' | '\u200C' | '\u200D' | '\uFEFF' =>
+        // 3. latin ligatures expanded
+        case '\uFB00' => sb.append("ff")
+        case '\uFB01' => sb.append("fi")
+        case '\uFB02' => sb.append("fl")
+        case '\uFB03' => sb.append("ffi")
+        case '\uFB04' => sb.append("ffl")
+        // 4. NBSP family -> plain space (NBSP, NNBSP, THIN SPACE)
+        case '\u00A0' | '\u202F' | '\u2009' => sb.append(' ')
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Collapse every whitespace run to a single space and trim. */
+  def collapseWhitespace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Full per-block normalization for the HTML branch: chars then whitespace. */
+  def normalizeBlock(s: String): String = collapseWhitespace(normalizeChars(s))
+
+  /** BiDi visual reordering for RTL documents (T4 analog: fribidi
+    * log2vis with RTL base direction, main/gtkDisplay.c:306-337), via
+    * java.text.Bidi. Applied per block (blocks are single logical lines
+    * after whitespace collapse). Returns the input unchanged when no BiDi
+    * processing is required. */
+  def bidiVisual(line: String, rtlBase: Boolean): String = {
+    if (line.isEmpty) return line
+    if (!rtlBase && !java.text.Bidi.requiresBidi(line.toCharArray, 0, line.length)) return line
+    val base =
+      if (rtlBase) java.text.Bidi.DIRECTION_DEFAULT_RIGHT_TO_LEFT
+      else java.text.Bidi.DIRECTION_DEFAULT_LEFT_TO_RIGHT
+    val bidi = new java.text.Bidi(line, base)
+    if (bidi.isLeftToRight) return line
+    val rc = bidi.getRunCount
+    val levels = new Array[Byte](rc)
+    val runs = new Array[AnyRef](rc)
+    var i = 0
+    while (i < rc) {
+      levels(i) = bidi.getRunLevel(i).toByte
+      val s = line.substring(bidi.getRunStart(i), bidi.getRunLimit(i))
+      // odd (RTL) runs render right-to-left: reverse their chars
+      runs(i) = if ((bidi.getRunLevel(i) & 1) == 1) s.reverse else s
+      i += 1
+    }
+    java.text.Bidi.reorderVisually(levels, 0, runs, 0, rc)
+    runs.mkString
+  }
+
+  /** Assemble kept blocks into (text, spans). */
+  def assemble(kept: Seq[(String, String)]): (String, Vector[Span]) = {
+    if (kept.isEmpty) return ("", Vector.empty)
+    val sb = new java.lang.StringBuilder
+    val spans = Vector.newBuilder[Span]
+    var first = true
+    kept.foreach { case (text, kind) =>
+      if (!first) sb.append("\n\n")
+      val begin = sb.length
+      sb.append(text)
+      spans += Span(begin, sb.length, kind)
+      first = false
+    }
+    sb.append('\n')
+    (sb.toString, spans.result())
+  }
+
+  /** End-to-end assembly of classified blocks for the HTML branch. */
+  def assembleBlocks(
+      classified: Seq[(Block, String)],
+      cfg: ExtractorConfig,
+      lang: String): (String, Vector[Span]) = {
+    val rtl = cfg.rtlLangs.contains(lang)
+    val pieces = classified.iterator.map { case (b, kind) =>
+      val norm = normalizeBlock(b.text)
+      (if (rtl) bidiVisual(norm, rtlBase = true) else norm, kind)
+    }.filter(_._1.nonEmpty).toVector
+    assemble(pieces)
+  }
+}

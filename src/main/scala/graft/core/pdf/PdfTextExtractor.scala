@@ -1,0 +1,292 @@
+package graft.core.pdf
+
+import graft.core.{ExtractorConfig, Span}
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal deterministic PDF text extractor (PDFBox-style text-run ordering,
+  * pure JVM, no deps) for uncompressed content streams.
+  *
+  * The analog of the reference's upstream PDF branch (pdftk burst +
+  * ghostscript, main/Makefile:70-93) fused with its geometric line assembly:
+  *  - text runs are collected with (page, x, y, fontSize) from BT..ET text
+  *    objects (operators Tf, Td, TD, Tm, TL, T*, Tj, TJ, ', ");
+  *  - runs group into lines by y-proximity (insertGlyph 3-case overlap
+  *    analog, main/segment.c:160-274) and sort by x within a line
+  *    (x-sorted insert, main/segment.c:230-247);
+  *  - lines sort by (page, -y); ties broken by stream order — the total
+  *    order required by SURVEY §7.4.4;
+  *  - word spacing: gap > spaceFraction×charWidth emits
+  *    max(1, floor(gap/charWidth) - 1) spaces (T1: collectText,
+  *    main/gtkDisplay.c:202-224; spaceFraction default 0.60, main/ocr.h:62);
+  *  - indentation: floor((x - minX)/charWidth) leading spaces (T2,
+  *    main/gtkDisplay.c:290-304);
+  *  - blank lines between paragraphs: floor(gap/lineHeight) - 1, clamped >=0,
+  *    and if > 2 then n/2 + 1 (T3, main/gtkDisplay.c:263-274,341-355);
+  *  - char-level normalization applied; whitespace is NOT collapsed (layout
+  *    is the signal in this branch).
+  *
+  * charWidth := 0.5 × fontSize; lineHeight := pdfLineHeightFactor × fontSize.
+  */
+object PdfTextExtractor {
+
+  final case class Run(page: Int, x: Double, y: Double, fontSize: Double, text: String, seq: Int)
+
+  /** Extract (text, spans) from raw PDF bytes. Spans are one per output
+    * line, kind = "line". Returns None on unparseable payloads. */
+  def extract(bytes: Array[Byte], cfg: ExtractorConfig): Option[(String, Vector[Span])] = {
+    val content = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val runs = parseRuns(content)
+    if (runs.isEmpty) return None
+    Some(assembleRuns(runs, cfg))
+  }
+
+  /** Parse every `stream...endstream` body as a content stream; one stream =
+    * one page (matches generated fixtures; embedded non-text streams yield no
+    * BT/ET runs and are harmless). */
+  private[pdf] def parseRuns(content: String): Vector[Run] = {
+    val runs = new ArrayBuffer[Run](16)
+    var page = 0
+    var from = 0
+    var seq = 0
+    while (from < content.length) {
+      val s = content.indexOf("stream", from)
+      if (s < 0) { from = content.length }
+      else {
+        var bodyStart = s + "stream".length
+        if (bodyStart < content.length && content.charAt(bodyStart) == '\r') bodyStart += 1
+        if (bodyStart < content.length && content.charAt(bodyStart) == '\n') bodyStart += 1
+        val e = content.indexOf("endstream", bodyStart)
+        if (e < 0) { from = content.length }
+        else {
+          seq = parseContentStream(content.substring(bodyStart, e), page, runs, seq)
+          page += 1
+          from = e + "endstream".length
+        }
+      }
+    }
+    runs.toVector
+  }
+
+  // --- content-stream operator machine -------------------------------------
+
+  private def parseContentStream(cs: String, page: Int, out: ArrayBuffer[Run], seq0: Int): Int = {
+    var seq = seq0
+    var i = 0
+    val n = cs.length
+    // text state
+    var fontSize = 12.0
+    var leading = 0.0
+    var tx = 0.0
+    var ty = 0.0
+    var lineX = 0.0 // line start (Td is relative to line start)
+    var lineY = 0.0
+    var inText = false
+    // operand stack: numbers and strings in order
+    val nums = new ArrayBuffer[Double](6)
+    var pendingStrings = new ArrayBuffer[String](2)
+
+    def emit(text: String): Unit = {
+      if (text.nonEmpty) {
+        out += Run(page, tx, ty, fontSize, text, seq)
+        seq += 1
+        tx += text.length * 0.5 * fontSize // advance estimate for same-line Tj runs
+      }
+    }
+
+    while (i < n) {
+      val c = cs.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '%') { // comment to EOL
+        while (i < n && cs.charAt(i) != '\n') i += 1
+      } else if (c == '(') {
+        val (str, after) = parseLiteralString(cs, i)
+        pendingStrings += str
+        i = after
+      } else if (c == '[') {
+        // TJ array: strings with kerning numbers; concat strings, ignore kerning
+        val sb = new java.lang.StringBuilder
+        i += 1
+        while (i < n && cs.charAt(i) != ']') {
+          if (cs.charAt(i) == '(') {
+            val (str, after) = parseLiteralString(cs, i)
+            sb.append(str); i = after
+          } else i += 1
+        }
+        if (i < n) i += 1 // skip ']'
+        pendingStrings += sb.toString
+      } else if (c == '<' && i + 1 < n && cs.charAt(i + 1) != '<') {
+        // hex string — decode as latin-1 bytes
+        val e = cs.indexOf('>', i + 1)
+        val hex = if (e < 0) cs.substring(i + 1) else cs.substring(i + 1, e)
+        val clean = hex.filter(ch => Character.digit(ch, 16) >= 0)
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k + 1 < clean.length) { sb.append(Integer.parseInt(clean.substring(k, k + 2), 16).toChar); k += 2 }
+        pendingStrings += sb.toString
+        i = if (e < 0) n else e + 1
+      } else if (c == '<') { // dict << — skip to matching >>
+        val e = cs.indexOf(">>", i + 2)
+        i = if (e < 0) n else e + 2
+      } else if (c == '/') { // name
+        i += 1
+        while (i < n && !cs.charAt(i).isWhitespace && "()[]<>/%".indexOf(cs.charAt(i)) < 0) i += 1
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        val start = i
+        i += 1
+        while (i < n && (cs.charAt(i).isDigit || cs.charAt(i) == '.')) i += 1
+        try nums += cs.substring(start, i).toDouble catch { case _: NumberFormatException => }
+      } else {
+        // operator token
+        val start = i
+        while (i < n && { val ch = cs.charAt(i); !ch.isWhitespace && "()[]<>/%".indexOf(ch) < 0 && !ch.isDigit }) i += 1
+        val op = cs.substring(start, i)
+        op match {
+          case "BT" =>
+            inText = true; tx = 0; ty = 0; lineX = 0; lineY = 0
+          case "ET" => inText = false
+          case "Tf" => if (nums.nonEmpty) fontSize = nums.last
+          case "TL" => if (nums.nonEmpty) leading = nums.last
+          case "Td" => if (nums.length >= 2) {
+              lineX += nums(nums.length - 2); lineY += nums.last
+              tx = lineX; ty = lineY
+            }
+          case "TD" => if (nums.length >= 2) {
+              leading = -nums.last
+              lineX += nums(nums.length - 2); lineY += nums.last
+              tx = lineX; ty = lineY
+            }
+          case "Tm" => if (nums.length >= 6) {
+              lineX = nums(nums.length - 2); lineY = nums.last
+              tx = lineX; ty = lineY
+            }
+          case "T*" | "Tstar" =>
+            lineY -= (if (leading != 0.0) leading else fontSize * 1.2)
+            tx = lineX; ty = lineY
+          case "Tj" =>
+            if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
+          case "TJ" =>
+            if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
+          case "'" =>
+            lineY -= (if (leading != 0.0) leading else fontSize * 1.2)
+            tx = lineX; ty = lineY
+            if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
+          case "\"" =>
+            lineY -= (if (leading != 0.0) leading else fontSize * 1.2)
+            tx = lineX; ty = lineY
+            if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
+          case _ => // unknown operator: clear operands below
+        }
+        if (op.nonEmpty) { nums.clear(); pendingStrings = new ArrayBuffer[String](2) }
+        if (i == start) i += 1 // safety: never stall
+      }
+    }
+    seq
+  }
+
+  /** PDF literal string at `i` (pointing at '('), with \-escapes and nested
+    * parens. Returns (decoded, indexAfterClosingParen). */
+  private[pdf] def parseLiteralString(cs: String, i0: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    var i = i0 + 1
+    var depth = 1
+    val n = cs.length
+    while (i < n && depth > 0) {
+      val c = cs.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        val e = cs.charAt(i + 1)
+        e match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case d if d >= '0' && d <= '7' =>
+            var k = i + 1
+            var v = 0
+            var cnt = 0
+            while (k < n && cnt < 3 && cs.charAt(k) >= '0' && cs.charAt(k) <= '7') {
+              v = v * 8 + (cs.charAt(k) - '0'); k += 1; cnt += 1
+            }
+            sb.append(v.toChar); i = k
+          case '\n' => i += 2 // line continuation
+          case other => sb.append(other); i += 2
+        }
+      } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  // --- layout assembly ------------------------------------------------------
+
+  private final case class Line(page: Int, y: Double, fontSize: Double, runs: ArrayBuffer[Run])
+
+  private[pdf] def assembleRuns(runs: Vector[Run], cfg: ExtractorConfig): (String, Vector[Span]) = {
+    // group runs into lines by (page, y within tolerance)
+    val lines = new ArrayBuffer[Line]
+    runs.foreach { r =>
+      lines.find(l => l.page == r.page && math.abs(l.y - r.y) <= cfg.pdfLineYTolerance) match {
+        case Some(l) => l.runs += r
+        case None => lines += Line(r.page, r.y, r.fontSize, ArrayBuffer(r))
+      }
+    }
+    // total order: (page asc, y desc, first-seq asc)
+    val sorted = lines.sortBy(l => (l.page, -l.y, l.runs.map(_.seq).min))
+    // page-wide left margin for indentation (T2): min x over the whole doc
+    val minX = runs.iterator.map(_.x).min
+
+    val sb = new java.lang.StringBuilder
+    val spans = Vector.newBuilder[Span]
+    var prevY = Double.NaN
+    var prevPage = -1
+    var first = true
+    sorted.foreach { line =>
+      val fs = line.runs.head.fontSize
+      val charW = 0.5 * fs
+      val lineH = cfg.pdfLineHeightFactor * fs
+      if (!first) {
+        if (line.page != prevPage) {
+          sb.append('\n') // page boundary: single break, no blank-line math
+        } else {
+          val gap = prevY - line.y
+          var blanks = math.floor(gap / lineH).toInt - 1
+          if (blanks < 0) blanks = 0
+          if (blanks > 2) blanks = blanks / 2 + 1 // T3 halving rule
+          sb.append('\n')
+          var k = 0
+          while (k < blanks) { sb.append('\n'); k += 1 }
+        }
+      }
+      val begin = sb.length
+      // indentation (T2)
+      val sortedRuns = line.runs.sortBy(r => (r.x, r.seq))
+      val indent = math.floor((sortedRuns.head.x - minX) / charW).toInt
+      var k = 0
+      while (k < indent) { sb.append(' '); k += 1 }
+      // word spacing between runs (T1)
+      var prevEnd = Double.NaN
+      sortedRuns.foreach { r =>
+        if (!prevEnd.isNaN) {
+          val gap = r.x - prevEnd
+          if (gap > cfg.pdfSpaceFraction * charW) {
+            val nSpaces = math.max(1, math.floor(gap / charW).toInt - 1)
+            var j = 0
+            while (j < nSpaces) { sb.append(' '); j += 1 }
+          }
+        }
+        sb.append(graft.core.assemble.TextAssembler.normalizeChars(r.text))
+        prevEnd = r.x + r.text.length * charW
+      }
+      spans += Span(begin, sb.length, graft.core.BlockKind.Line)
+      prevY = line.y
+      prevPage = line.page
+      first = false
+    }
+    sb.append('\n')
+    (sb.toString, spans.result())
+  }
+}

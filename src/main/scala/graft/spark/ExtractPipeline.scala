@@ -1,0 +1,107 @@
+package graft.spark
+
+import graft.core.{Extractor, ExtractedRow, ExtractorConfig}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark-native extraction job (SURVEY §4.3 physical plan):
+  *
+  * {{{
+  * Scan(web_pages, pruned to url/warc_ts/html/lang, pushed filters)
+  *   → Exchange(hashpartitioning(host ⊕ salt))        — explicit, skew-salted
+  *   → MapPartitions(extract kernel)                  — object mode, one boundary
+  *   → AppendData(extracted) + lineage rows           — checkpointed commit
+  * }}}
+  *
+  * Design-for-scale notes (10^12 docs / 100 TB):
+  *  - the ONLY shuffle is the explicit repartition by (host, salt); everything
+  *    else is narrow. At 1000 executors this is one exchange of (url, html)
+  *    pairs — unavoidable if we want host-locality for politeness/caching, and
+  *    skippable (`repartitionByHost = false`) when input bucketing already
+  *    provides it;
+  *  - hot hosts (a crawl regularly has one host with >>1/P of all docs) are
+  *    salted: docs on hosts above `hotHostThreshold` (estimated on a bounded
+  *    sample, never a full pre-pass) spread across `saltBuckets` sub-keys.
+  *    AQE alone cannot split a single giant group created by our own
+  *    repartition, hence explicit salting (SURVEY §4.2);
+  *  - the kernel is a streaming iterator — one page in memory at a time per
+  *    task (reference frees pages as it goes, main/segment.c:1478-1512);
+  *  - column pruning: we select exactly (url, warc_ts, html, lang) BEFORE the
+  *    typed boundary so parquet never materializes `text`.
+  */
+object ExtractPipeline {
+
+  final case class PipelineConfig(
+      extractor: ExtractorConfig = ExtractorConfig.default,
+      repartitionByHost: Boolean = true,
+      numPartitions: Int = 0, // 0 = leave at session default parallelism
+      hotHostFraction: Double = 0.05, // host above this fraction of sample = hot
+      saltBuckets: Int = 16,
+      sampleFraction: Double = 0.01,
+      maxSampleRows: Int = 100000)
+
+  /** host(url) — tolerant, never throws. */
+  val hostUdf = udf { (url: String) =>
+    if (url == null) ""
+    else {
+      val i = url.indexOf("://")
+      val start = if (i >= 0) i + 3 else 0
+      var end = start
+      while (end < url.length && url.charAt(end) != '/' && url.charAt(end) != '?' && url.charAt(end) != '#') end += 1
+      url.substring(start, end)
+    }
+  }
+
+  /** Kernel input row — public: Spark codegen instantiates it. */
+  final case class PageIn(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte], lang: String)
+
+  /** Core transform: pages DataFrame → extracted Dataset. Pure, no writes. */
+  def extract(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig = PipelineConfig()): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    // prune columns FIRST so parquet scan never reads `text`
+    val pruned = pages.select(
+      col("url"),
+      col("warc_ts"),
+      col("html"),
+      coalesce(col("lang"), lit("")).as("lang"))
+
+    val partitioned =
+      if (!cfg.repartitionByHost) pruned
+      else {
+        val p = if (cfg.numPartitions > 0) cfg.numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+        val hot = hotHosts(spark, pruned, cfg, p)
+        val withKeys = pruned
+          .withColumn("host", hostUdf(col("url")))
+          .withColumn("salt",
+            when(col("host").isInCollection(hot.toSeq.sorted),
+              pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
+              .otherwise(lit(0)))
+        withKeys.repartition(p, col("host"), col("salt"))
+          .drop("host", "salt")
+      }
+
+    val extractorCfg = cfg.extractor
+    partitioned.as[PageIn].mapPartitions { it =>
+      // one Extractor per task; model/config live for the task like the
+      // reference loads its model once per process (main/main.c:232)
+      val extractor = new Extractor(extractorCfg)
+      it.map(p => extractor.extract(p.url, p.html, p.lang))
+    }
+  }
+
+  /** Estimate hot hosts from a bounded sample (NEVER a full scan of html —
+    * only the url column is touched, so the parquet reader prunes to one
+    * column; at 100 TB this reads only url chunks of a 1% sample). */
+  def hotHosts(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig, parts: Int): Set[String] = {
+    if (cfg.hotHostFraction >= 1.0) return Set.empty
+    val sample = pages.select("url").sample(withReplacement = false, cfg.sampleFraction, seed = 42)
+      .limit(cfg.maxSampleRows)
+    val counts = sample.select(hostUdf(col("url")).as("host"))
+      .groupBy("host").count()
+      .collect()
+    val total = counts.map(_.getLong(1)).sum.toDouble
+    if (total <= 0) Set.empty
+    else counts.filter(r => r.getLong(1) / total > cfg.hotHostFraction).map(_.getString(0)).toSet
+  }
+}
