@@ -155,8 +155,9 @@ object HtmlTokenizer {
         }
       }
     }
-    // If we bailed out mid-text because of maxTokens, nothing more to flush.
-    out.toVector
+    // If we bailed out mid-text because of maxTokens, nothing more to flush;
+    // a flush can overshoot by one — trim to the strict bound.
+    if (out.length > maxTokens) out.take(maxTokens).toVector else out.toVector
   }
 
   /** Case-insensitive search for `</name` at a token boundary. */

@@ -1,0 +1,61 @@
+package graft.core
+
+import graft.core.html.{BlockSegmenter, HtmlTokenizer}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BlockSegmenterSpec extends AnyFunSuite {
+  private def seg(html: String) = BlockSegmenter.segment(HtmlTokenizer.tokenize(html))
+
+  test("block-level tags split; inline tags do not (G9 inline-run merge analog)") {
+    val b = seg("<p>one <b>two</b> three</p><p>four</p>")
+    assert(b.map(_.text.trim) == Vector("one two three", "four"))
+    assert(b.head.words == 3)
+  }
+
+  test("double <br> splits a block; single <br> does not (G4 fallback split analog)") {
+    val b = seg("<div>alpha beta<br>gamma<br><br>delta</div>")
+    assert(b.length == 2)
+    assert(b(0).words == 3) // alpha beta gamma
+    assert(b(1).text == "delta")
+  }
+
+  test("link words counted per word, spanning pieces (F1 link-density feature)") {
+    val b = seg("""<p>plain <a href="/x">linked words</a> tail</p>""")
+    assert(b.head.words == 4)
+    assert(b.head.linkWords == 2)
+    assert(b.head.linkDensity == 0.5)
+  }
+
+  test("boilerplate containers taint nested blocks: tags and id/class") {
+    val b = seg("<nav><p>menu item</p></nav><div id=\"comments\"><p>a comment here</p></div>" +
+      "<div class=\"article\"><p>real content text</p></div>")
+    assert(b.map(_.inBoilerContainer) == Vector(true, true, false))
+  }
+
+  test("headings and list items flagged") {
+    val b = seg("<h2>Title Here</h2><ul><li>item one text</li></ul>")
+    assert(b(0).isHeading && !b(0).isLi)
+    assert(b(1).isLi && !b(1).isHeading)
+  }
+
+  test("script/style/title content never reaches blocks") {
+    val b = seg("<head><title>T</title><style>p{}</style></head><body><p>x y</p></body>")
+    assert(b.map(_.text.trim) == Vector("x y"))
+  }
+
+  test("entities decoded inside block text") {
+    val b = seg("<p>fish &amp; chips &eacute;</p>")
+    assert(b.head.text == "fish & chips é")
+  }
+
+  test("unclosed tags recover; whitespace-only text ignored") {
+    val b = seg("<div><p>first para\n  <p>second para</div>   \n ")
+    assert(b.map(_.text.trim) == Vector("first para", "second para"))
+  }
+
+  test("tagPath records open block ancestry") {
+    val b = seg("<body><div><ul><li>x y z</li></ul></div></body>")
+    assert(b.head.tagPath == "body/div/ul/li")
+    assert(b.head.depth == 4)
+  }
+}

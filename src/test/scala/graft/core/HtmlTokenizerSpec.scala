@@ -1,0 +1,79 @@
+package graft.core
+
+import graft.core.html.HtmlTokenizer
+import graft.core.html.HtmlTokenizer._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlTokenizerSpec extends AnyFunSuite {
+
+  test("basic tags and text") {
+    val t = tokenize("<p>hello <b>world</b></p>")
+    assert(t == Vector(
+      StartTag("p", Map.empty, false), Text("hello "),
+      StartTag("b", Map.empty, false), Text("world"),
+      EndTag("b"), EndTag("p")))
+  }
+
+  test("attributes: quoted, single-quoted, unquoted, bare") {
+    val Vector(StartTag(n, attrs, sc)) =
+      tokenize("""<a href="/x" class='y z' id=plain disabled>""")
+    assert(n == "a" && !sc)
+    assert(attrs == Map("href" -> "/x", "class" -> "y z", "id" -> "plain", "disabled" -> ""))
+  }
+
+  test("self-closing and void tags") {
+    val t = tokenize("<br/><img src=x><hr />")
+    assert(t.collect { case StartTag(n, _, _) => n } == Vector("br", "img", "hr"))
+  }
+
+  test("comments, doctype, CDATA, PI are skipped") {
+    val t = tokenize("<!doctype html><!-- <p>no</p> --><![CDATA[zap]]><?xml v?>yes")
+    assert(t == Vector(Text("yes")))
+  }
+
+  test("script/style raw text is consumed, not emitted") {
+    val t = tokenize("<script>if (a < b) { x = '<p>'; }</script><style>a>b{}</style>ok")
+    assert(t.collect { case Text(s) => s } == Vector("ok"))
+    assert(t.collect { case StartTag(n, _, _) => n } == Vector("script", "style"))
+  }
+
+  test("title text is kept (for potential metadata) but marked by tags") {
+    val t = tokenize("<title>My Page</title>")
+    assert(t == Vector(StartTag("title", Map.empty, false), Text("My Page"), EndTag("title")))
+  }
+
+  test("case-insensitive tag names") {
+    val t = tokenize("<P>x</P><DiV>y</dIv>")
+    assert(t.collect { case StartTag(n, _, _) => n } == Vector("p", "div"))
+    assert(t.collect { case EndTag(n) => n } == Vector("p", "div"))
+  }
+
+  test("entity decoding: named, decimal, hex, unknown passthrough") {
+    assert(decodeEntities("a &amp; b") == "a & b")
+    assert(decodeEntities("&lt;tag&gt;") == "<tag>")
+    assert(decodeEntities("&#65;&#x42;") == "AB")
+    assert(decodeEntities("&nbsp;") == " ")
+    assert(decodeEntities("&bogus; &") == "&bogus; &")
+    assert(decodeEntities("&eacute;") == "é")
+  }
+
+  test("malformed: stray < is text, unterminated tag, digits-only not a tag") {
+    val t1 = tokenize("a < b")
+    assert(t1.collect { case Text(s) => s }.mkString == "a < b")
+    val t2 = tokenize("<p>x<")
+    assert(t2.collect { case Text(s) => s }.mkString.startsWith("x"))
+    val t3 = tokenize("<123>z")
+    assert(t3.collect { case Text(s) => s }.mkString.contains("z"))
+  }
+
+  test("unterminated raw-text element does not loop or throw") {
+    val t = tokenize("<script>var x = 1;")
+    assert(t.head == StartTag("script", Map.empty, false))
+  }
+
+  test("maxTokens bounds work on pathological input") {
+    val html = "<p>x</p>" * 10000
+    val t = tokenize(html, maxTokens = 50)
+    assert(t.length <= 50)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.core
+
+import graft.core.pdf.PdfTextExtractor
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfTextExtractorSpec extends AnyFunSuite {
+  private val cfg = ExtractorConfig.default
+
+  private def pdf(streams: String*): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n")
+    streams.zipWithIndex.foreach { case (s, i) =>
+      sb.append(s"${i + 3} 0 obj << /Length ${s.length} >> stream\n")
+      sb.append(s).append("endstream endobj\n")
+    }
+    sb.append("trailer\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  private def text(streams: String*): String =
+    PdfTextExtractor.extract(pdf(streams: _*), cfg).get._1
+
+  test("single line") {
+    assert(text("BT /F1 12 Tf 72 720 Td (Hello world) Tj ET\n") == "Hello world\n")
+  }
+
+  test("lines ordered by descending y regardless of stream order") {
+    val s = "BT /F1 12 Tf 72 700 Td (second) Tj ET\n" +
+            "BT /F1 12 Tf 72 720 Td (first) Tj ET\n"
+    assert(text(s) == "first\nsecond\n")
+  }
+
+  test("runs within a line sorted by x; word spacing from gap (T1 analog)") {
+    // charW = 6; gap of 12 between runs → max(1, floor(12/6)-1) = 1 space
+    val s = "BT /F1 12 Tf 102 720 Td (beta) Tj ET\n" + // 72 + 5*6 = 102 → gap 12 after "alpha"(5 chars → ends 102)... use explicit numbers
+            "BT /F1 12 Tf 72 720 Td (alpha) Tj ET\n"
+    // alpha ends at 72+5*6=102; beta at 102 → gap 0 → no space
+    assert(text(s) == "alphabeta\n")
+    val s2 = "BT /F1 12 Tf 72 720 Td (alpha) Tj ET\nBT /F1 12 Tf 114 720 Td (beta) Tj ET\n"
+    // gap = 114-102 = 12 > 0.6*6 → spaces = max(1, floor(12/6)-1) = 1
+    assert(text(s2) == "alpha beta\n")
+    val s3 = "BT /F1 12 Tf 72 720 Td (alpha) Tj ET\nBT /F1 12 Tf 126 720 Td (beta) Tj ET\n"
+    // gap = 24 → floor(24/6)-1 = 3 spaces
+    assert(text(s3) == "alpha   beta\n")
+  }
+
+  test("indentation from x offset (T2 analog)") {
+    val s = "BT /F1 12 Tf 72 720 Td (flush) Tj ET\n" +
+            "BT /F1 12 Tf 90 700 Td (indented) Tj ET\n" // (90-72)/6 = 3
+    assert(text(s) == "flush\n   indented\n")
+  }
+
+  test("blank lines from y gap; halving rule for gaps > 2 (T3 analog)") {
+    // lineH = 14.4. gap 21.4 → floor=1 → 0 blanks
+    val a = "BT /F1 12 Tf 72 720 Td (a) Tj ET\nBT /F1 12 Tf 72 698.6 Td (b) Tj ET\n"
+    assert(text(a) == "a\nb\n")
+    // gap = 2*14.4+7=35.8 → floor=2 → 1 blank
+    val b = "BT /F1 12 Tf 72 720 Td (a) Tj ET\nBT /F1 12 Tf 72 684.2 Td (b) Tj ET\n"
+    assert(text(b) == "a\n\nb\n")
+    // gap = 6*14.4+7=93.4 → floor=6 → blanks=5 → >2 → 5/2+1=3
+    val c = "BT /F1 12 Tf 72 720 Td (a) Tj ET\nBT /F1 12 Tf 72 626.6 Td (b) Tj ET\n"
+    assert(text(c) == "a\n\n\n\nb\n")
+  }
+
+  test("multi-page: pages in stream order, single newline at boundary") {
+    val p1 = "BT /F1 12 Tf 72 720 Td (page one) Tj ET\n"
+    val p2 = "BT /F1 12 Tf 72 720 Td (page two) Tj ET\n"
+    assert(text(p1, p2) == "page one\npage two\n")
+  }
+
+  test("literal string escapes: parens, backslash, octal, newline") {
+    assert(text("BT /F1 12 Tf 72 720 Td (a \\(b\\) c\\\\d \\101) Tj ET\n") == "a (b) c\\d A\n")
+  }
+
+  test("TD/T*/quote operators advance lines; TJ concatenates array strings") {
+    val s = "BT /F1 12 Tf 72 720 Td (one) Tj 0 -20 TD (two) Tj T* (three) Tj ET\n"
+    assert(text(s) == "one\ntwo\nthree\n")
+    val tj = "BT /F1 12 Tf 72 720 Td [(con) -20 (cat)] TJ ET\n"
+    assert(text(tj) == "concat\n")
+  }
+
+  test("spans: one per line, offsets exact") {
+    val (t, spans) = PdfTextExtractor.extract(
+      pdf("BT /F1 12 Tf 72 720 Td (ab) Tj ET\nBT /F1 12 Tf 72 700 Td (cd) Tj ET\n"), cfg).get
+    assert(t == "ab\ncd\n")
+    assert(spans == Vector(Span(0, 2, "line"), Span(3, 5, "line")))
+  }
+
+  test("no text runs → None (parse_error taxonomy upstream)") {
+    assert(PdfTextExtractor.extract("%PDF-1.4\ngarbage no streams".getBytes, cfg).isEmpty)
+  }
+
+  test("char normalization applied (ligatures) but whitespace preserved") {
+    assert(text("BT /F1 12 Tf 72 720 Td (­x) Tj ET\n") == "x\n")
+  }
+}
