@@ -1,0 +1,83 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("Spark job output byte-identical to answer key (t2 gate, distributed)") {
+    val n = 800L
+    val extracted = ExtractPipeline.extract(spark, Corpus.pages(spark, n))
+    val expected = Corpus.pagesWithExpected(spark, n)
+      .select(col("url"), col("expected_text"), col("expected_failure"))
+    val bad = extracted.toDF().join(expected, Seq("url"), "full_outer")
+      .filter(col("text").isNull || col("expected_text").isNull ||
+        col("text") =!= col("expected_text") || col("failure") =!= col("expected_failure"))
+      .count()
+    assert(bad == 0)
+    assert(extracted.count() == n)
+  }
+
+  test("physical plan: single exchange, pruned columns, salted keys") {
+    val plan = ExtractPipeline.extract(spark, Corpus.pages(spark, 100))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, s"expected 1 exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(host"))
+  }
+
+  test("run + resume: second run over a superset processes only new urls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_job").toString
+    val r1 = ExtractJob.run(spark, Corpus.pages(spark, 300), dir)
+    assert(r1.runId == 0 && r1.newDocs == 300)
+    // superset: same 300 plus 200 more (same seed → same first 300 urls)
+    val r2 = ExtractJob.run(spark, Corpus.pages(spark, 500), dir)
+    assert(r2.runId == 1 && r2.newDocs == 200, s"got ${r2.newDocs}")
+    val all = ExtractJob.readExtracted(spark, dir)
+    assert(all.count() == 500)
+    // rerun with no new input: zero new docs, still 500 total (idempotence)
+    val r3 = ExtractJob.run(spark, Corpus.pages(spark, 500), dir)
+    assert(r3.newDocs == 0)
+    assert(ExtractJob.readExtracted(spark, dir).count() == 500)
+  }
+
+  test("lineage rows cover all docs with taxonomy counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    ExtractJob.run(spark, Corpus.pages(spark, 400), dir)
+    val lin = ExtractJob.readLineage(spark, dir)
+    val agg = lin.agg(
+      sum("doc_count").as("docs"),
+      sum("n_ok").as("ok"),
+      sum("n_empty").as("empty"),
+      sum("n_unsupported").as("uns")).collect()(0)
+    assert(agg.getLong(0) == 400)
+    assert(agg.getLong(1) > 300) // ~86% ok
+    assert(agg.getLong(0) == agg.getLong(1) + agg.getLong(2) + agg.getLong(3))
+  }
+
+  test("hot-host salting spreads the skewed host over multiple partitions") {
+    val pages = Corpus.pages(spark, 2000)
+    val cfg = ExtractPipeline.PipelineConfig(numPartitions = 8, saltBuckets = 8,
+      sampleFraction = 1.0)
+    val parts = ExtractPipeline.extract(spark, pages, cfg)
+      .filter(col("url").contains("hot.example.com"))
+      .select(spark_partition_id().as("pid")).distinct().count()
+    assert(parts >= 4, s"hot host landed on only $parts partitions")
+  }
+}
