@@ -1,13 +1,219 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.spark.{Corpus, ExtractPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for everything
+  * ANSI-SQL-expressible. Extraction/dedup/ANN kernels that SQL cannot
+  * express are rows-checked and gated instead by the byte-identity golden
+  * tests (`sbt -batch test`, north-rule mechanism).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction pipeline over the synthetic web corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ExtractPipeline.extract(spark, Corpus.pages(spark, 500)).toDF()
+      .filter(col("failure") === "ok")
+      .select("url", "text", "n_blocks", "n_chars")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational coverage (SURVEY §2.6), all DuckDB-oracled -------------
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_revenue_by_nation" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+    "q3_running_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("run_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q4_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .limit(10)
+    }),
+    "q5_filter_pushdown" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") > 0.02)
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q6_source_except" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.filter(col("lang") === "en").select("source").distinct()
+        .except(docs.filter(col("lang") === "zh").select("source").distinct())
+        .orderBy("source")
+    }),
+    "q7_exact_dedup_counts" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .orderBy("source")
+    }),
+    "q8_doc_token_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q9_events_by_type" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 2).as("avg_value"),
+          round(max("value"), 2).as("max_value"))
+        .orderBy("event_type")
+    }),
+    "q10_cosine_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- extraction pipeline (north rule; golden-gated, rows-checked here) --
+    "x1_extract" -> ((s, d) => {
+      ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d))).toDF()
+        .select("url", "failure", "n_blocks", "n_chars", "n_bytes_in")
+        .orderBy("url")
+    }),
+    "x2_extract_text" -> ((s, d) => {
+      ExtractPipeline.extract(s, Corpus.pages(s, math.min(Corpus.docsForSf(d), 2000L))).toDF()
+        .filter(col("failure") === "ok")
+        .select("url", "text")
+        .orderBy("url")
+    }),
+    "x3_spans" -> ((s, d) => {
+      ExtractPipeline.extract(s, Corpus.pages(s, math.min(Corpus.docsForSf(d), 2000L))).toDF()
+        .select(col("url"), explode(col("spans")).as("span"))
+        .select(col("url"), col("span.begin").as("begin"),
+          col("span.end").as("end"), col("span.kind").as("kind"))
+        .orderBy("url", "begin")
+    }),
+    "x4_taxonomy" -> ((s, d) => {
+      ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d))).toDF()
+        .groupBy("failure").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("failure")
+    }),
+
+    // --- dedup / similarity / text analysis (training-data ops) ------------
+    "x5_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+    "x6_simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "x7_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "x8_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "x9_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "x10_lsh_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_running_window" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "q4_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.02""".stripMargin,
+    "q6_source_except" ->
+      """SELECT DISTINCT source FROM documents WHERE lang = 'en'
+        |EXCEPT
+        |SELECT DISTINCT source FROM documents WHERE lang = 'zh'
+        |ORDER BY source""".stripMargin,
+    "q7_exact_dedup_counts" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_doc_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q9_events_by_type" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_cosine_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        | scored AS (
+        |   SELECT q.query_id, v.vec_id,
+        |     list_cosine_similarity(v.embedding, q.q_emb) AS sim_raw
+        |   FROM embeddings v, q WHERE v.vec_id <> q.query_id),
+        | ranked AS (
+        |   SELECT query_id, vec_id, sim_raw,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rank
+        |   FROM scored)
+        |SELECT query_id, vec_id, round(sim_raw, 4) AS sim, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 }

@@ -14,11 +14,19 @@ class HtmlTokenizerSpec extends AnyFunSuite {
       EndTag("b"), EndTag("p")))
   }
 
-  test("attributes: quoted, single-quoted, unquoted, bare") {
+  test("attributes: only id/class materialized (quoted, single-quoted, unquoted)") {
     val Vector(StartTag(n, attrs, sc)) =
       tokenize("""<a href="/x" class='y z' id=plain disabled>""")
     assert(n == "a" && !sc)
-    assert(attrs == Map("href" -> "/x", "class" -> "y z", "id" -> "plain", "disabled" -> ""))
+    // contract: id/class kept (the only attrs consumed downstream), others
+    // scanned past without allocation
+    assert(attrs == Map("class" -> "y z", "id" -> "plain"))
+  }
+
+  test("attribute values with '>' inside quotes do not end the tag") {
+    val t = tokenize("""<div class="a>b">x</div>""")
+    assert(t.head == StartTag("div", Map("class" -> "a>b"), false))
+    assert(t(1) == Text("x"))
   }
 
   test("self-closing and void tags") {
