@@ -158,6 +158,35 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // --- multimodal plumbing (binary columns; decode kernels are stubs,
+    // --- the Spark-side schema/batching/partitioning is real) -------------
+    "x11_media_meta" -> ((s, d) => {
+      import graft.multimodal.{MediaGen, Multimodal}
+      val n = math.min(Corpus.docsForSf(d), 2000L)
+      MediaGen.table(s, n)
+        .withColumn("meta", Multimodal.decodeMeta(col("payload")))
+        .groupBy(col("meta.media_type").as("media_type"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("bytes"))
+        .orderBy("media_type")
+    }),
+    "x12_media_features" -> ((s, d) => {
+      import graft.multimodal.{MediaGen, Multimodal}
+      val n = math.min(Corpus.docsForSf(d), 1000L)
+      Multimodal.extractFeatures(MediaGen.table(s, n), "payload", dim = 16)
+        .select(col("media_id"), col("media_type"),
+          round(element_at(col("embedding"), 1), 4).as("e0"))
+        .orderBy("media_id")
+    }),
+    "x13_video_frames" -> ((s, d) => {
+      import graft.multimodal.{MediaGen, Multimodal}
+      val n = math.min(Corpus.docsForSf(d), 2000L)
+      val vids = MediaGen.table(s, n).filter(col("media_type") === "video")
+      Multimodal.sampleFrames(vids, "payload", stride = 2)
+        .filter(col("frame_idx") >= 0)
+        .select(col("media_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_size"))
+        .orderBy("media_id", "frame_idx")
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  import scala.collection.JavaConverters._
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("functions-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Int, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // --- TextAnalysis ---------------------------------------------------------
+
+  test("tokenCount: native expression, edge cases") {
+    val df = docs(1 -> "one two  three", 2 -> "", 3 -> "   ", 4 -> "single")
+    val got = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 3, 2 -> 0, 3 -> 0, 4 -> 1))
+  }
+
+  test("langIdKernel: script and stopword detection") {
+    assert(TextAnalysis.langIdKernel("the cat sat on the mat and it was good") == "en")
+    assert(TextAnalysis.langIdKernel("der Hund ist nicht mit der Katze und das ist gut") == "de")
+    assert(TextAnalysis.langIdKernel("le chat est dans la maison et il est content pour que") == "fr")
+    assert(TextAnalysis.langIdKernel("el perro es un animal y la casa es una cosa que") == "es")
+    assert(TextAnalysis.langIdKernel("这是一个中文句子没有空格") == "zh")
+    assert(TextAnalysis.langIdKernel("שלום עולם ספר דבר") == "he")
+    assert(TextAnalysis.langIdKernel("xyzzy qwerty plugh") == "und")
+    assert(TextAnalysis.langIdKernel("") == "und")
+    assert(TextAnalysis.langIdKernel(null) == "und")
+  }
+
+  test("fingerprint: deterministic, shift-stable rolling hash") {
+    val a = TextAnalysis.fingerprintKernel("the quick brown fox jumps over the lazy dog")
+    val b = TextAnalysis.fingerprintKernel("the quick brown fox jumps over the lazy dog")
+    assert(a == b)
+    // min-hash of shared windows survives a prefix shift when the minimum
+    // window is inside the shared suffix
+    val base = "zzzz the quick brown fox jumps over the lazy dog"
+    val shifted = "aaaaaa the quick brown fox jumps over the lazy dog"
+    // (not guaranteed equal in general, but both must be stable)
+    assert(TextAnalysis.fingerprintKernel(base) == TextAnalysis.fingerprintKernel(base))
+    assert(TextAnalysis.fingerprintKernel(shifted) == TextAnalysis.fingerprintKernel(shifted))
+  }
+
+  test("qualityScore: long clean text scores higher than junk") {
+    val clean = ("the quick brown fox jumps over the lazy dog and runs far " * 10).trim
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val df = docs(1 -> clean, 2 -> junk)
+    val s = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(s(1) > 0.8, s"clean=$s")
+    assert(s(2) < 0.4, s"junk=$s")
+  }
+
+  // --- Dedup ----------------------------------------------------------------
+
+  test("shingleSet + jaccard: identical=1, disjoint=0, ordering sound") {
+    assert(Dedup.jaccardKernel("abcdefgh", "abcdefgh", 5) == 1.0)
+    assert(Dedup.jaccardKernel("aaaaaaaa", "bbbbbbbb", 5) == 0.0)
+    val j = Dedup.jaccardKernel("the quick brown fox", "the quick brown cat", 5)
+    assert(j > 0.3 && j < 0.9, s"j=$j")
+  }
+
+  test("minhash signature approximates jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val sa = Dedup.minhashKernel(a, 5, 128)
+    val sb = Dedup.minhashKernel(b, 5, 128)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val real = Dedup.jaccardKernel(a, b, 5)
+    assert(math.abs(est - real) < 0.15, s"est=$est real=$real")
+  }
+
+  test("minhashPairs finds planted near-duplicates, skips distinct docs") {
+    val base = "large language models are trained on deduplicated web text corpora " +
+      "because repeated documents waste compute and bias the distribution"
+    val near = base.replace("waste", "burn") // tiny edit
+    val other = "completely different subject matter entirely unrelated to the " +
+      "previous documents in every possible way shape and form"
+    val df = docs(1 -> base, 2 -> near, 3 -> other)
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(pairs.toSeq == Seq((1, 2)))
+  }
+
+  test("simhash: small edit → small hamming; different docs → large") {
+    val a = Dedup.simhashKernel("the quick brown fox jumps over the lazy dog again and again")
+    val b = Dedup.simhashKernel("the quick brown fox jumps over the lazy cat again and again")
+    val c = Dedup.simhashKernel("entirely unrelated text about spark catalyst optimizer rules")
+    assert(Dedup.hammingKernel(a, b) <= 12, s"near=${Dedup.hammingKernel(a, b)}")
+    assert(Dedup.hammingKernel(a, c) > 12, s"far=${Dedup.hammingKernel(a, c)}")
+  }
+
+  test("exactClusters/exactDedup") {
+    val df = docs(1 -> "same text", 2 -> "same text", 3 -> "unique text")
+    assert(Dedup.exactClusters(df, "doc_id", "text").count() == 2)
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(kept == Seq(1, 3)) // min-id representative survives
+  }
+
+  // --- Similarity -------------------------------------------------------------
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    val s = spark; import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("native cosine: exact values") {
+    val df = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(1f, 1f))
+    val q = vecs(1L -> Seq(1f, 0f))
+    val top = Similarity.bruteForceTopK(df, q, k = 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // neighbor 3: cos = 1/sqrt(2) ≈ 0.7071; neighbor 2: cos = 0
+    assert(top.toSeq == Seq((3L, 0.7071), (2L, 0.0)))
+  }
+
+  test("lsh ANN finds the true nearest neighbor for clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    // two tight clusters far apart
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.01f).toSeq
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0L until 20L).map(i => i -> jitter(if (i < 10) c1 else c2))
+    val df = vecs(rows: _*)
+    val q = vecs(0L -> rows.head._2)
+    val got = Similarity.lshTopK(df, q, k = 3, nBits = 6, tables = 6).collect()
+    assert(got.nonEmpty)
+    // every returned neighbor must be from cluster 1 (ids 1..9)
+    got.foreach(r => assert(r.getLong(1) < 10, s"wrong cluster: ${r.getLong(1)}"))
+  }
+}
