@@ -38,7 +38,7 @@ final class Extractor(
       } else if (Extractor.looksLikeHtml(bytes)) {
         val decoded = Extractor.decode(bytes)
         val tokens = HtmlTokenizer.tokenize(decoded, cfg.maxTokens)
-        val blocks = BlockSegmenter.segment(tokens)
+        val blocks = BlockSegmenter.segment(tokens, cfg.fissionMinLinkRun, cfg.fissionMinTextWords)
         if (blocks.isEmpty) row("", Nil, Failure.Empty, 0)
         else {
           val kept = classifier.classify(blocks, cfg)

@@ -93,6 +93,10 @@ final case class ExtractorConfig(
     fusionMaxWords: Int = 10,
     fusionMaxLinkDensity: Double = 0.1,
     fusionMinWords: Int = 3,
+    /** fission (wide-block split, G12 analog): a contiguous run of >= this
+      * many fully-linked words inside a mixed block splits out (0 = off) */
+    fissionMinLinkRun: Int = 4,
+    fissionMinTextWords: Int = 10,
     /** languages that get BiDi visual reordering (reference RTL autodetect,
       * main/kd.c:700-711; fribidi reorder main/gtkDisplay.c:306-337) */
     rtlLangs: Set[String] = Set("he", "yi", "ar", "fa"),

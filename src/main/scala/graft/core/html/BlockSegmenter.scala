@@ -48,8 +48,23 @@ object BlockSegmenter {
       val skip: Boolean,
       val anchor: Boolean)
 
-  /** Segment a token stream into blocks, preserving document order. */
-  def segment(tokens: Vector[HtmlTokenizer.Token]): Vector[Block] = {
+  /** Word run inside a block: [begin,end) chars, link flag, word count. */
+  private final case class Run(begin: Int, end: Int, isLink: Boolean, words: Int)
+
+  /** Segment a token stream into blocks, preserving document order.
+    *
+    * @param fissionMinLinkRun when > 0, a contiguous run of at least this
+    *   many fully-linked words inside a mixed block is SPLIT into its own
+    *   block (wide-glyph fission analog, splitWideGlyphs
+    *   main/segment.c:1224-1386: search for a split point, keep the split
+    *   when the parts score better than the whole — here the "score" is
+    *   the link-density classifier downstream, which can then keep the
+    *   text part and drop the embedded nav). 0 disables fission.
+    */
+  def segment(
+      tokens: Vector[HtmlTokenizer.Token],
+      fissionMinLinkRun: Int = 4,
+      fissionMinTextWords: Int = 10): Vector[Block] = {
     import HtmlTokenizer._
     val blocks = new ArrayBuffer[Block](32)
     val stack = new ArrayBuffer[OpenElem](16)
@@ -66,38 +81,68 @@ object BlockSegmenter {
     def headingNow: Option[String] = stack.reverseIterator.map(_.name).find(headingTags.contains)
     def liNow: Boolean = stack.exists(_.name == "li")
 
+    def emit(raw: String, begin: Int, end: Int, runs: Seq[Run]): Unit = {
+      val words = runs.iterator.map(_.words).sum
+      val linkWords = runs.iterator.filter(_.isLink).map(_.words).sum
+      blocks += Block(
+        text = raw.substring(begin, end),
+        words = words,
+        linkWords = linkWords,
+        tagPath = tagPathNow,
+        depth = blockDepth,
+        isHeading = headingNow.isDefined,
+        isLi = liNow,
+        inBoilerContainer = boilerNow)
+    }
+
     def flush(): Unit = {
       if (pieces.nonEmpty) {
         val raw = pieces.iterator.map(_._1).mkString
         if (raw.exists(!_.isWhitespace)) {
-          // words: maximal non-whitespace runs across pieces; a word is a
-          // link word if any contributing piece was inside an <a>
-          var words = 0; var linkWords = 0
-          var inWord = false; var wordIsLink = false
+          // per-char link flags, then word runs (maximal non-ws spans; a
+          // word is a link word if any contributing char was inside an <a>)
+          val flags = new Array[Boolean](raw.length)
+          var off = 0
           pieces.foreach { case (txt, isLink) =>
-            var j = 0
-            while (j < txt.length) {
-              val ws = txt.charAt(j).isWhitespace
-              if (ws) {
-                if (inWord) { words += 1; if (wordIsLink) linkWords += 1 }
-                inWord = false; wordIsLink = false
-              } else {
-                inWord = true
-                if (isLink) wordIsLink = true
-              }
-              j += 1
+            if (isLink) java.util.Arrays.fill(flags, off, off + txt.length, true)
+            off += txt.length
+          }
+          val wordRuns = ArrayBuffer.empty[Run]
+          var i = 0
+          val n = raw.length
+          while (i < n) {
+            while (i < n && raw.charAt(i).isWhitespace) i += 1
+            if (i < n) {
+              val b = i
+              var link = false
+              while (i < n && !raw.charAt(i).isWhitespace) { if (flags(i)) link = true; i += 1 }
+              // merge into previous run if same link flag
+              if (wordRuns.nonEmpty && wordRuns.last.isLink == link) {
+                val last = wordRuns.last
+                wordRuns(wordRuns.length - 1) = Run(last.begin, i, link, last.words + 1)
+              } else wordRuns += Run(b, i, link, 1)
             }
           }
-          if (inWord) { words += 1; if (wordIsLink) linkWords += 1 }
-          blocks += Block(
-            text = raw,
-            words = words,
-            linkWords = linkWords,
-            tagPath = tagPathNow,
-            depth = blockDepth,
-            isHeading = headingNow.isDefined,
-            isLi = liNow,
-            inBoilerContainer = boilerNow)
+          // fission: big link runs inside a mixed block become own blocks
+          val bigLinkRuns = wordRuns.count(r => r.isLink && r.words >= fissionMinLinkRun)
+          val textWords = wordRuns.iterator.filterNot(_.isLink).map(_.words).sum
+          if (fissionMinLinkRun > 0 && bigLinkRuns > 0 &&
+              wordRuns.exists(r => !r.isLink) && textWords >= fissionMinTextWords) {
+            var seg = ArrayBuffer.empty[Run]
+            def flushSeg(): Unit = if (seg.nonEmpty) {
+              emit(raw, seg.head.begin, seg.last.end, seg.toSeq)
+              seg = ArrayBuffer.empty[Run]
+            }
+            wordRuns.foreach { r =>
+              if (r.isLink && r.words >= fissionMinLinkRun) {
+                flushSeg()
+                emit(raw, r.begin, r.end, Seq(r))
+              } else seg += r
+            }
+            flushSeg()
+          } else if (wordRuns.nonEmpty) {
+            emit(raw, 0, raw.length, wordRuns.toSeq)
+          }
         }
         pieces = new ArrayBuffer[(String, Boolean)](8)
       }

@@ -53,6 +53,30 @@ class BlockSegmenterSpec extends AnyFunSuite {
     assert(b.map(_.text.trim) == Vector("first para", "second para"))
   }
 
+  test("fission: embedded nav run splits out of a mixed block (G12 analog)") {
+    val html = "<div>This paragraph has enough genuine words to stand on its own here " +
+      """<a href="/a">Home</a> <a href="/b">About</a> <a href="/c">Contact</a> <a href="/d">Archive</a> """ +
+      "and the prose continues after the embedded menu for several more words.</div>"
+    val b = seg(html)
+    assert(b.length == 3, b.map(_.text))
+    assert(b(0).linkWords == 0 && b(0).words >= 10)
+    assert(b(1).linkWords == b(1).words && b(1).words == 4) // the menu run
+    assert(b(2).linkWords == 0 && b(2).words >= 10)
+    assert(b(1).text == "Home About Contact Archive")
+  }
+
+  test("fission does not fire on short link runs or all-link blocks") {
+    val short = seg("<p>words before <a href=x>two words</a> and plenty of text after that one here</p>")
+    assert(short.length == 1)
+    val allLink = seg("""<p><a href=x>Only linked words in here the whole block is one anchor text</a></p>""")
+    assert(allLink.length == 1 && allLink.head.linkWords == allLink.head.words)
+    val off = BlockSegmenter.segment(
+      graft.core.html.HtmlTokenizer.tokenize("<p>text text text text text text text text text text " +
+        "<a href=x>a b c d e</a> more more more more more more more more more more</p>"),
+      fissionMinLinkRun = 0)
+    assert(off.length == 1) // disabled by config
+  }
+
   test("tagPath records open block ancestry") {
     val b = seg("<body><div><ul><li>x y z</li></ul></div></body>")
     assert(b.head.tagPath == "body/div/ul/li")
