@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, NativeFunctions, Similarity, TextAnalysis}
 import graft.spark.{Corpus, ExtractPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -136,12 +136,12 @@ object SparkEntry {
     }),
     "x6_simhash" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), NativeFunctions.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
     "x7_langid" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), NativeFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
     "x8_quality" -> ((s, d) => {
@@ -151,7 +151,7 @@ object SparkEntry {
     }),
     "x9_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), NativeFunctions.fingerprint64(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
     "x10_lsh_ann" -> ((s, d) => {

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from Catalyst via [[StaticInvoke]] — scalac emits
+  * static forwarders for a top-level object, which StaticInvoke's codegen
+  * calls directly inside WholeStageCodegen: no UDF closure, no
+  * serialization boundary, null-propagation handled by the expression. */
+object NativeKernels {
+  def simhash64(s: UTF8String): Long =
+    if (s == null) 0L else Dedup.simhashKernel(s.toString)
+
+  def fingerprint64(s: UTF8String): Long =
+    if (s == null) 0L else TextAnalysis.fingerprintKernel(s.toString)
+
+  def langId(s: UTF8String): UTF8String =
+    UTF8String.fromString(TextAnalysis.langIdKernel(if (s == null) null else s.toString))
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** Column constructors for the native kernels (preferred over the UDF
+  * variants in [[Dedup]]/[[TextAnalysis]] on hot paths — same results,
+  * codegen-friendly plan). */
+object NativeFunctions {
+
+  private def invoke(name: String, dt: DataType, args: Column*): Column =
+    GraftColumnBridge.column(StaticInvoke(
+      NativeKernels.getClass,
+      dt,
+      name,
+      args.map(c => GraftColumnBridge.expression(c)),
+      inputTypes = Nil,
+      propagateNull = true,
+      returnNullable = false))
+
+  def simhash64(c: Column): Column = invoke("simhash64", LongType, c)
+  def fingerprint64(c: Column): Column = invoke("fingerprint64", LongType, c)
+  def langId(c: Column): Column = invoke("langId", StringType, c)
+  def hamming64(a: Column, b: Column): Column = invoke("hamming64", IntegerType, a, b)
+}

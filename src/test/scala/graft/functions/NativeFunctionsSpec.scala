@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class NativeFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("native-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs() = {
+    val s = spark; import s.implicits._
+    Seq(
+      1 -> "the quick brown fox jumps over the lazy dog",
+      2 -> "der Hund ist nicht mit der Katze und das ist gut",
+      3 -> "",
+      4 -> "שלום עולם ספר דבר").toDF("doc_id", "text")
+  }
+
+  test("native StaticInvoke kernels agree with the UDF variants exactly") {
+    val df = docs()
+    val both = df.select(
+      col("doc_id"),
+      NativeFunctions.simhash64(col("text")).as("n_sim"),
+      Dedup.simhash(col("text")).as("u_sim"),
+      NativeFunctions.fingerprint64(col("text")).as("n_fp"),
+      TextAnalysis.fingerprint(col("text")).as("u_fp"),
+      NativeFunctions.langId(col("text")).as("n_lang"),
+      TextAnalysis.langId(col("text")).as("u_lang")).collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"simhash diff doc ${r.getInt(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"fingerprint diff doc ${r.getInt(0)}")
+      assert(r.getString(5) == r.getString(6), s"langId diff doc ${r.getInt(0)}")
+    }
+  }
+
+  test("null propagation: native kernels return null for null input") {
+    val df = docs().withColumn("text", when(col("doc_id") === 1, col("text")))
+    val rows = df.select(col("doc_id"), NativeFunctions.simhash64(col("text")).as("s"))
+      .orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1)) // propagateNull
+  }
+
+  test("plan: static_invoke inside WholeStageCodegen, no BatchEvalPython/UDF node") {
+    val plan = docs().select(NativeFunctions.simhash64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("static_invoke") || plan.contains("staticinvoke"), plan)
+    val explained = docs().select(NativeFunctions.simhash64(col("text")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!explained.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("hamming64 native") {
+    val s = spark; import s.implicits._
+    val df = Seq((0xFFL, 0x0FL)).toDF("a", "b")
+    val h = df.select(NativeFunctions.hamming64(col("a"), col("b"))).head().getInt(0)
+    assert(h == 4)
+  }
+}
