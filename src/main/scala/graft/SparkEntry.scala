@@ -103,6 +103,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q11_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+    "q12_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+    "q13_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_without_orders"))
+    }),
+    "q14_normalize" -> ((s, d) => {
+      // whitespace-collapse normalizer exposed as a column op (P1 analog
+      // subset that ANSI SQL can mirror)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(regexp_replace(trim(col("text")), "\\s+", " ")).as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
     // --- extraction pipeline (north rule; golden-gated, rows-checked here) --
     "x1_extract" -> ((s, d) => {
       ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d))).toDF()
@@ -179,6 +210,24 @@ object SparkEntry {
           round(element_at(col("embedding"), 1), 4).as("e0"))
         .orderBy("media_id")
     }),
+    "x14_spell_repair" -> ((s, d) => {
+      // P2 analog over the documents table: broadcast dictionary built from
+      // the corpus itself (top words), then repair OCR-style confusions
+      import graft.core.assemble.SpellRepair
+      val docs = t(s, d, "documents")
+      val dict = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .groupBy("w").count().filter(col("count") >= 10)
+        .select("w").collect().map(_.getString(0)).toSet
+      val bcDict = s.sparkContext.broadcast(dict)
+      val repair = udf { (text: String) =>
+        val r = new SpellRepair(bcDict.value)
+        r.correctText(text)
+      }
+      docs.select(col("doc_id"),
+          (length(repair(col("text"))) - length(col("text"))).as("len_delta"),
+          substring(repair(col("text")), 1, 40).as("head40"))
+        .orderBy("doc_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -233,6 +282,25 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value,
         | round(max(value), 2) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT count(*) AS n_customers_without_orders
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q14_normalize" ->
+      """SELECT doc_id,
+        | length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         | scored AS (

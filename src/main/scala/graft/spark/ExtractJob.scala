@@ -49,12 +49,20 @@ object ExtractJob {
       case None => pages
     }
 
+    // observed metrics ride the write job itself (df.observe — no second
+    // scan; the reference's running per-page stats, main/segment.c:158-174)
+    val obs = org.apache.spark.sql.Observation(s"extract_run_$runId")
     val extracted = ExtractPipeline.extract(spark, pending, cfg)
-      .withColumn("run_id", lit(runId))
       .withColumn("partition_id", spark_partition_id())
+      .observe(obs,
+        count(lit(1)).as("docs"),
+        sum("n_bytes_in").as("bytes_in"),
+        sum("n_chars").as("chars_out"),
+        sum(when(col("failure") =!= "ok", 1L).otherwise(0L)).as("failures"))
 
     val extractedPath = s"$outDir/extracted/run_id=$runId"
-    extracted.drop("run_id").write.mode(SaveMode.Overwrite).parquet(extractedPath)
+    extracted.write.mode(SaveMode.Overwrite).parquet(extractedPath)
+    val observed = obs.get
 
     // lineage from the WRITTEN files (column-pruned re-read, never re-extracts)
     val written = spark.read.parquet(extractedPath)
@@ -72,7 +80,7 @@ object ExtractJob {
       .withColumn("run_id", lit(runId))
     lineage.drop("run_id").write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
 
-    val newDocs = written.count()
+    val newDocs = observed.getOrElse("docs", 0L).asInstanceOf[Long]
     store.commit(runId, newDocs) // commit LAST — a crash before this line leaves
                                  // an uncommitted run that the next run redoes
     RunResult(runId, newDocs, newDocs)
