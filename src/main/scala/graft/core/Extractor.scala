@@ -42,7 +42,10 @@ final class Extractor(
         if (blocks.isEmpty) row("", Nil, Failure.Empty, 0)
         else {
           val kept = classifier.classify(blocks, cfg)
-          val (text, spans) = TextAssembler.assembleBlocks(kept, cfg, lang)
+          val (text0, spans0) = TextAssembler.assembleBlocks(kept, cfg, lang)
+          // language-keyed post passes (P3-P5 analog); no-op unless `lang`
+          // has a registered rule set
+          val (text, spans) = assemble.PostNormalizer.applyWithSpans(text0, spans0, lang)
           if (text.isEmpty) row("", Nil, Failure.Empty, 0)
           else row(text, spans, Failure.Ok, spans.length)
         }
