@@ -68,8 +68,40 @@ object TextAssembler {
     sb.toString
   }
 
-  /** Full per-block normalization for the HTML branch: chars then whitespace. */
-  def normalizeBlock(s: String): String = collapseWhitespace(normalizeChars(s))
+  /** Full per-block normalization for the HTML branch. Semantically
+    * IDENTICAL to `collapseWhitespace(normalizeChars(s))` (property-tested)
+    * but fused into one pass — this runs once per block per document and the
+    * intermediate copy showed up in kernel profiles. */
+  def normalizeBlock(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var started = false
+    def emit(c: Char): Unit = {
+      if (c.isWhitespace) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '\u00AD' | '\u200B' | '\u200C' | '\u200D' | '\uFEFF' => // stripped
+        case '\uFB00' => emit('f'); emit('f')
+        case '\uFB01' => emit('f'); emit('i')
+        case '\uFB02' => emit('f'); emit('l')
+        case '\uFB03' => emit('f'); emit('f'); emit('i')
+        case '\uFB04' => emit('f'); emit('f'); emit('l')
+        case '\u00A0' | '\u202F' | '\u2009' => emit(' ')
+        case other => emit(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** BiDi visual reordering for RTL documents (T4 analog: fribidi
     * log2vis with RTL base direction, main/gtkDisplay.c:306-337), via

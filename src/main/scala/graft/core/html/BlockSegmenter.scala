@@ -62,7 +62,7 @@ object BlockSegmenter {
     *   text part and drop the embedded nav). 0 disables fission.
     */
   def segment(
-      tokens: Vector[HtmlTokenizer.Token],
+      tokens: IndexedSeq[HtmlTokenizer.Token],
       fissionMinLinkRun: Int = 4,
       fissionMinTextWords: Int = 10): Vector[Block] = {
     import HtmlTokenizer._
@@ -73,13 +73,48 @@ object BlockSegmenter {
     var pieces = new ArrayBuffer[(String, Boolean)](8)
     var pendingBr = 0
 
-    def anchorDepth: Int = stack.count(_.anchor)
-    def boilerNow: Boolean = stack.exists(_.boiler)
-    def skipNow: Boolean = stack.exists(_.skip)
-    def blockDepth: Int = stack.count(_.isBlock)
+    // maintained depth counters — O(1) per token instead of O(stack) scans
+    // (the segmenter runs once per document at 10^12 scale; this is the
+    // hottest loop in the kernel)
+    var anchorDepthC = 0
+    var boilerDepthC = 0
+    var skipDepthC = 0
+    var blockDepthC = 0
+    var headingDepthC = 0
+    var liDepthC = 0
+
+    def anchorDepth: Int = anchorDepthC
+    def boilerNow: Boolean = boilerDepthC > 0
+    def skipNow: Boolean = skipDepthC > 0
+    def blockDepth: Int = blockDepthC
     def tagPathNow: String = stack.iterator.filter(_.isBlock).map(_.name).mkString("/")
-    def headingNow: Option[String] = stack.reverseIterator.map(_.name).find(headingTags.contains)
-    def liNow: Boolean = stack.exists(_.name == "li")
+    def headingNow: Boolean = headingDepthC > 0
+    def liNow: Boolean = liDepthC > 0
+
+    def push(e: OpenElem): Unit = {
+      stack += e
+      if (e.anchor) anchorDepthC += 1
+      if (e.boiler) boilerDepthC += 1
+      if (e.skip) skipDepthC += 1
+      if (e.isBlock) blockDepthC += 1
+      if (headingTags.contains(e.name)) headingDepthC += 1
+      if (e.name == "li") liDepthC += 1
+    }
+
+    def popFrom(idx: Int): Unit = {
+      var k = stack.length - 1
+      while (k >= idx) {
+        val e = stack(k)
+        if (e.anchor) anchorDepthC -= 1
+        if (e.boiler) boilerDepthC -= 1
+        if (e.skip) skipDepthC -= 1
+        if (e.isBlock) blockDepthC -= 1
+        if (headingTags.contains(e.name)) headingDepthC -= 1
+        if (e.name == "li") liDepthC -= 1
+        k -= 1
+      }
+      stack.remove(idx, stack.length - idx)
+    }
 
     def emit(raw: String, begin: Int, end: Int, runs: Seq[Run]): Unit = {
       val words = runs.iterator.map(_.words).sum
@@ -90,7 +125,7 @@ object BlockSegmenter {
         linkWords = linkWords,
         tagPath = tagPathNow,
         depth = blockDepth,
-        isHeading = headingNow.isDefined,
+        isHeading = headingNow,
         isLi = liNow,
         inBoilerContainer = boilerNow)
     }
@@ -149,7 +184,10 @@ object BlockSegmenter {
       pendingBr = 0
     }
 
-    tokens.foreach {
+    var ti = 0
+    val tn = tokens.length
+    while (ti < tn) {
+      tokens(ti) match {
       case StartTag(name, attrs, selfClosing) =>
         if (name == "br") {
           pendingBr += 1
@@ -161,15 +199,16 @@ object BlockSegmenter {
           val isBlock = blockTags.contains(name)
           if (isBlock) flush()
           if (!selfClosing && !HtmlTokenizer.voidElements.contains(name)) {
-            val idClass = attrs.getOrElse("id", "") + " " + attrs.getOrElse("class", "")
-            val boiler = boilerContainerTags.contains(name) ||
-              (idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find())
-            stack += new OpenElem(
+            val boiler = boilerContainerTags.contains(name) || (attrs.nonEmpty && {
+              val idClass = attrs.getOrElse("id", "") + " " + attrs.getOrElse("class", "")
+              idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find()
+            })
+            push(new OpenElem(
               name,
               isBlock,
               boiler,
               skipTags.contains(name),
-              name == "a")
+              name == "a"))
           }
           pendingBr = 0
         }
@@ -177,7 +216,7 @@ object BlockSegmenter {
         if (blockTags.contains(name)) flush()
         // pop up to and including the innermost matching open element
         val idx = stack.lastIndexWhere(_.name == name)
-        if (idx >= 0) stack.remove(idx, stack.length - idx)
+        if (idx >= 0) popFrom(idx)
         pendingBr = 0
       case Text(value) =>
         if (!skipNow && value.exists(!_.isWhitespace)) {
@@ -187,6 +226,8 @@ object BlockSegmenter {
           // inter-word whitespace still separates words
           pieces += ((" ", false))
         }
+      }
+      ti += 1
     }
     flush()
     blocks.toVector

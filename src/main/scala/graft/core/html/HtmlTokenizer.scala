@@ -79,8 +79,10 @@ object HtmlTokenizer {
 
   /** Tokenize. `maxTokens` bounds work on pathological pages (the analog of
     * the reference's size caps, main/ocr.h:53-56); excess input is dropped.
+    * Returns an array-backed IndexedSeq (the segmenter iterates by index —
+    * measurably cheaper than Vector dispatch in the kernel hot loop).
     */
-  def tokenize(html: String, maxTokens: Int = Int.MaxValue): Vector[Token] = {
+  def tokenize(html: String, maxTokens: Int = Int.MaxValue): IndexedSeq[Token] = {
     val out = new ArrayBuffer[Token](256)
     val n = html.length
     var i = 0
@@ -157,7 +159,8 @@ object HtmlTokenizer {
     }
     // If we bailed out mid-text because of maxTokens, nothing more to flush;
     // a flush can overshoot by one — trim to the strict bound.
-    if (out.length > maxTokens) out.take(maxTokens).toVector else out.toVector
+    val trimmed = if (out.length > maxTokens) out.take(maxTokens) else out
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(trimmed.toArray)
   }
 
   /** Case-insensitive search for `</name` at a token boundary. */

@@ -15,8 +15,8 @@ class HtmlTokenizerSpec extends AnyFunSuite {
   }
 
   test("attributes: only id/class materialized (quoted, single-quoted, unquoted)") {
-    val Vector(StartTag(n, attrs, sc)) =
-      tokenize("""<a href="/x" class='y z' id=plain disabled>""")
+    val Seq(StartTag(n, attrs, sc)) =
+      tokenize("""<a href="/x" class='y z' id=plain disabled>""").toSeq
     assert(n == "a" && !sc)
     // contract: id/class kept (the only attrs consumed downstream), others
     // scanned past without allocation
