@@ -210,6 +210,12 @@ object SparkEntry {
           round(element_at(col("embedding"), 1), 4).as("e0"))
         .orderBy("media_id")
     }),
+    "x15_embedding_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup (dedup flavor of ANN); low threshold so
+      // the synthetic embeddings yield candidate pairs to verify plumbing
+      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), threshold = 0.30)
+        .orderBy("id_a", "id_b")
+    }),
     "x14_spell_repair" -> ((s, d) => {
       // P2 analog over the documents table: broadcast dictionary built from
       // the corpus itself (top words), then repair OCR-style confusions

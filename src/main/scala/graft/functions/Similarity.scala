@@ -89,4 +89,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
+
+  /** Embedding-cosine near-duplicate PAIRS (the dedup flavor of ANN):
+    * LSH-bucket self-join → exact cosine inside buckets → threshold.
+    * Never O(n²); candidates come from an equi-join on (table, bucket). */
+  def embeddingNearDupPairs(
+      vectors: DataFrame, threshold: Double = 0.95,
+      nBits: Int = 12, tables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketUdf = udf((v: Seq[Float], t: Int) => lshBucketKernel(v, nBits, 0x5EED0000L + t))
+    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("emb"))
+      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("bucket", bucketUdf(col("emb"), col("table")))
+    val l = b.select(col("table"), col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = b.select(col("table"), col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "emb_a", "emb_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
 }
