@@ -25,6 +25,17 @@ class FixtureRoundTripSpec extends AnyFunSuite {
     assert(failures("ok") > 4000)
   }
 
+  test("byte identity holds for a different seed (not seed-42-specific)") {
+    var i = 0L
+    while (i < 1500) {
+      val f = FixtureGen.fixtureAt(20260816L, i)
+      val got = Extractor.default.extract(f.url, f.html, f.lang)
+      assert(got.failure == f.expected.failure && got.text == f.expected.text,
+        s"mismatch at seed=20260816 i=$i ${f.url}")
+      i += 1
+    }
+  }
+
   test("fixtureAt is deterministic and index-independent (distributed generation safe)") {
     val a = FixtureGen.fixtureAt(42L, 123L)
     val b = FixtureGen.fixtureAt(42L, 123L)
