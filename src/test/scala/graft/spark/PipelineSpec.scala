@@ -57,6 +57,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractJob.readExtracted(spark, dir).count() == 500)
   }
 
+  test("crash recovery: an orphan UNCOMMITTED run is ignored and its urls redone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    // simulate a job that died after writing data but before the checkpoint
+    // commit: data exists under run_id=0, no _checkpoint record
+    ExtractPipeline.extract(spark, Corpus.pages(spark, 100)).toDF()
+      .withColumn("partition_id", spark_partition_id())
+      .write.parquet(s"$dir/extracted/run_id=0")
+    assert(ExtractJob.readExtracted(spark, dir).count() == 0) // invisible
+    val r = ExtractJob.run(spark, Corpus.pages(spark, 100), dir)
+    assert(r.newDocs == 100) // all redone — nothing was committed
+    assert(ExtractJob.readExtracted(spark, dir).count() == 100)
+  }
+
   test("lineage rows cover all docs with taxonomy counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lin").toString
     ExtractJob.run(spark, Corpus.pages(spark, 400), dir)
