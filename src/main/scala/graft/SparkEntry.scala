@@ -134,6 +134,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q15_scalar_subquery" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val avgPrice = p.agg(avg("p_retailprice")).first().getDouble(0)
+      p.filter(col("p_retailprice") > avgPrice)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_above_avg"),
+          round(max("p_retailprice"), 2).as("max_price"))
+        .orderBy("p_brand")
+    }),
+    "q16_conditional_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0))).as("qty_highdisc"),
+          sum(when(col("l_tax") > 0.04, 1L).otherwise(0L)).as("n_hightax"),
+          round(avg(when(col("l_linestatus") === "F", col("l_extendedprice"))), 2).as("avg_f_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- extraction pipeline (north rule; golden-gated, rows-checked here) --
     "x1_extract" -> ((s, d) => {
       ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d))).toDF()
@@ -307,6 +326,18 @@ object SparkEntry {
       """SELECT doc_id,
         | length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_above_avg,
+        | round(max(p_retailprice), 2) AS max_price
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_conditional_agg" ->
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS qty_highdisc,
+        | sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_hightax,
+        | round(avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS avg_f_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         | scored AS (
