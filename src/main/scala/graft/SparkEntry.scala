@@ -134,6 +134,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q17_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
     "q15_scalar_subquery" -> ((s, d) => {
       val p = t(s, d, "part")
       val avgPrice = p.agg(avg("p_retailprice")).first().getDouble(0)
@@ -326,6 +334,12 @@ object SparkEntry {
       """SELECT doc_id,
         | length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events""".stripMargin,
     "q15_scalar_subquery" ->
       """SELECT p_brand, count(*) AS n_above_avg,
         | round(max(p_retailprice), 2) AS max_price
@@ -335,7 +349,7 @@ object SparkEntry {
     "q16_conditional_agg" ->
       """SELECT l_returnflag,
         | sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS qty_highdisc,
-        | sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_hightax,
+        | CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_hightax,
         | round(avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS avg_f_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_cosine_knn" ->

@@ -20,6 +20,11 @@ final class Extractor(
     cfg: ExtractorConfig = ExtractorConfig.default,
     classifier: BlockClassifier = HeuristicClassifier) extends Serializable {
 
+  // one corrector per Extractor instance (per task) — its memo cache is the
+  // fixspell `%corrected` analog and must outlive single documents
+  @transient private lazy val spellRepairer =
+    new graft.core.assemble.SpellRepair(cfg.dictionary)
+
   def extract(url: String, bytes: Array[Byte], lang: String): ExtractedRow = {
     val nIn = if (bytes == null) 0L else bytes.length.toLong
     def row(text: String, spans: Seq[Span], failure: String, nBlocks: Int): ExtractedRow =
@@ -45,7 +50,12 @@ final class Extractor(
           val (text0, spans0) = TextAssembler.assembleBlocks(kept, cfg, lang)
           // language-keyed post passes (P3-P5 analog); no-op unless `lang`
           // has a registered rule set
-          val (text, spans) = assemble.PostNormalizer.applyWithSpans(text0, spans0, lang)
+          val (text1, spans1) = assemble.PostNormalizer.applyWithSpans(text0, spans0, lang)
+          // optional dictionary spell repair (P2 analog), span-preserving
+          val (text, spans) =
+            if (cfg.spellRepair && cfg.dictionary.nonEmpty)
+              Spans.rewrite(text1, spans1)(spellRepairer.correctText)
+            else (text1, spans1)
           if (text.isEmpty) row("", Nil, Failure.Empty, 0)
           else row(text, spans, Failure.Ok, spans.length)
         }

@@ -110,4 +110,23 @@ final case class ExtractorConfig(
 
 object ExtractorConfig {
   val default: ExtractorConfig = ExtractorConfig()
+
+  /** Per-corpus profiles — the analog of the reference's per-book flag
+    * bundles (main/Makefile:684 `KAFKA = -H 600 -W 600 -d 10 ...`): tuning
+    * is config selected by corpus, never code. */
+  val profiles: Map[String, ExtractorConfig] = Map(
+    "default" -> default,
+    // news articles: long paragraphs, aggressive chrome stripping
+    "news" -> default.copy(minContentWords = 12, maxContentLinkDensity = 0.25),
+    // forums/comments corpora: short posts are the content — keep them,
+    // and the "comments" id/class heuristic is wrong there by definition,
+    // so fusion has to do more of the work
+    "forum" -> default.copy(minContentWords = 5, fusionMaxWords = 16),
+    // link-heavy reference/wiki pages: tolerate higher link density
+    "wiki" -> default.copy(maxContentLinkDensity = 0.5, fissionMinLinkRun = 6),
+    // strict dedup-corpus preparation: spell repair on
+    "training-clean" -> default.copy(spellRepair = true))
+
+  def profile(name: String): ExtractorConfig =
+    profiles.getOrElse(name, default)
 }

@@ -25,6 +25,24 @@ object Spans {
   def overlapping(spans: IndexedSeq[Span], begin: Int, end: Int): IndexedSeq[Span] =
     spans.filter(s => s.begin < end && s.end > begin)
 
+  /** Rewrite each span's slice with `f`, recomputing offsets exactly;
+    * text between spans passes through untouched. */
+  def rewrite(text: String, spans: Seq[Span])(f: String => String): (String, Vector[Span]) = {
+    if (spans.isEmpty) return (text, Vector.empty)
+    val sb = new java.lang.StringBuilder(text.length)
+    val out = Vector.newBuilder[Span]
+    var cursor = 0
+    spans.foreach { s =>
+      sb.append(text, cursor, s.begin)
+      val b = sb.length
+      sb.append(f(text.substring(s.begin, s.end)))
+      out += Span(b, sb.length, s.kind)
+      cursor = s.end
+    }
+    sb.append(text, cursor, text.length)
+    (sb.toString, out.result())
+  }
+
   /** Validate the assembly invariants (tests + debug). */
   def invariantsHold(spans: Seq[Span], textLen: Int): Boolean = {
     var prevEnd = -1

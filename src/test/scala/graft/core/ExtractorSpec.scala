@@ -105,6 +105,34 @@ class ExtractorSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("spell repair integrated: span-preserving correction when enabled") {
+    val cfg = ExtractorConfig.default.copy(
+      spellRepair = true,
+      dictionary = Set("modern", "world", "this", "paragraph", "contains",
+        "enough", "ordinary", "words", "to", "be", "kept", "as", "content", "easily"))
+    val html = "<body><p>This paragraph contains enough ordinary words to be " +
+      "kept as content easily w0rld rnodern</p></body>"
+    val r = new Extractor(cfg).extract("u", html.getBytes(UTF_8), "en")
+    assert(r.failure == "ok")
+    assert(r.text.contains("world") && r.text.contains("modern"))
+    assert(!r.text.contains("w0rld") && !r.text.contains("rnodern"))
+    assert(graft.core.Spans.invariantsHold(r.spans.toVector, r.text.length))
+    // off by default: same page without the profile keeps the raw tokens
+    val off = Extractor.default.extract("u", html.getBytes(UTF_8), "en")
+    assert(off.text.contains("w0rld"))
+  }
+
+  test("per-corpus profiles select different thresholds (config over code)") {
+    val html = "<body><p>short six word forum post here</p></body>" // 6 words
+    val strict = new Extractor(ExtractorConfig.profile("news"))
+      .extract("u", html.getBytes(UTF_8), "en")
+    val forum = new Extractor(ExtractorConfig.profile("forum"))
+      .extract("u", html.getBytes(UTF_8), "en")
+    assert(strict.failure == "empty")   // 6 < 12 minimum words
+    assert(forum.failure == "ok")       // 6 >= 5
+    assert(ExtractorConfig.profile("nonexistent") == ExtractorConfig.default)
+  }
+
   test("pathological page bounded by maxTokens, does not hang") {
     val html = "<body>" + ("<p>word one two three four five six seven eight nine ten</p>" * 20000)
     val cfg = ExtractorConfig.default.copy(maxTokens = 1000)
