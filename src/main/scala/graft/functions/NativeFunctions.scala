@@ -22,6 +22,20 @@ object NativeKernels {
     UTF8String.fromString(TextAnalysis.langIdKernel(if (s == null) null else s.toString))
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Whole-kernel extraction as a scalar function: html bytes + lang →
+    * extracted text ("" on failure). Pure SQL pipelines can then run
+    * `SELECT graft_extract(html, lang) FROM web_pages`. */
+  def extractText(html: Array[Byte], lang: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.core.Extractor.default
+        .extract("", html, if (lang == null) "" else lang.toString).text)
+
+  /** Failure-taxonomy companion of [[extractText]]. */
+  def extractFailure(html: Array[Byte], lang: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.core.Extractor.default
+        .extract("", html, if (lang == null) "" else lang.toString).failure)
 }
 
 /** Column constructors for the native kernels (preferred over the UDF

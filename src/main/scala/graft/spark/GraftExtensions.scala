@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_fingerprint", "rolling-hash document fingerprint", LongType, "fingerprint64", 1)
     register(ext, "graft_langid", "heuristic language id (n-gram + script)", StringType, "langId", 1)
     register(ext, "graft_hamming", "hamming distance of two 64-bit signatures", IntegerType, "hamming64", 2)
+    register(ext, "graft_extract", "main-content extraction: (html binary, lang) -> text", StringType, "extractText", 2)
+    register(ext, "graft_failure", "extraction failure taxonomy: (html binary, lang) -> class", StringType, "extractFailure", 2)
   }
 }

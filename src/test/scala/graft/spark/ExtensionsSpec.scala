@@ -40,6 +40,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).toSeq == viaApi)
   }
 
+  test("pure-SQL extraction pipeline: graft_extract/graft_failure") {
+    Corpus.pages(spark, 150).createOrReplaceTempView("web_pages")
+    val agg = spark.sql(
+      """SELECT graft_failure(html, lang) AS failure, count(*) AS n,
+        |       sum(length(graft_extract(html, lang))) AS chars
+        |FROM web_pages GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val byFailure = agg.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFailure("ok") > 100)
+    assert(byFailure.keySet.subsetOf(Set("ok", "empty", "unsupported_payload", "parse_error", "oversize")))
+    // SQL output byte-identical to the answer key
+    Corpus.pagesWithExpected(spark, 150).createOrReplaceTempView("expected")
+    val bad = spark.sql(
+      """SELECT count(*) AS bad FROM web_pages p JOIN expected e ON p.url = e.url
+        |WHERE graft_extract(p.html, p.lang) <> e.expected_text""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(bad == 0)
+  }
+
   test("null propagation through SQL registration") {
     val r = spark.sql("SELECT graft_simhash(CAST(NULL AS STRING)) AS x").collect()(0)
     assert(r.isNullAt(0))
