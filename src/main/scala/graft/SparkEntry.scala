@@ -237,6 +237,12 @@ object SparkEntry {
           round(element_at(col("embedding"), 1), 4).as("e0"))
         .orderBy("media_id")
     }),
+    "x16_ivf_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+        nLists = 8, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
     "x15_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-dup (dedup flavor of ANN); low threshold so
       // the synthetic embeddings yield candidate pairs to verify plumbing

@@ -90,6 +90,60 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
+    * k-means centroids partition the vector space; each vector lands in one
+    * inverted list (cluster); a query probes only the `nProbe` nearest
+    * lists. At 10^9 vectors this turns the scan into a partition-pruned
+    * equi-join on cluster id (vs LSH's bucket join — both shipped, pick by
+    * recall/latency needs).
+    *
+    * Centroids are trained ONCE (deterministic seed) on a bounded sample —
+    * the broadcast-model pattern again (reference: readTuples once per
+    * process, main/kd.c:645-724). */
+  def ivfTopK(
+      vectors: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 10000, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = vectors.sparkSession
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val train = vectors.select(col(vecCol)).limit(trainSample)
+      .withColumn("features", toVec(col(vecCol)))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(train.select("features"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def nearestLists(n: Int) = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val dists = cs.indices.map { ci =>
+        var d = 0.0
+        var j = 0
+        val c = cs(ci)
+        while (j < v.length && j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (ci, d)
+      }
+      dists.sortBy(_._2).take(n).map(_._1)
+    }
+
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb"))
+      .withColumn("list", nearestLists(1)(col("v_emb"))(0)) // assign: 1 list
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
+      .withColumn("list", explode(nearestLists(nProbe)(col("q_emb")))) // probe: nProbe lists
+    val cand = v.join(q, Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "q_emb", "v_emb")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim", cosine(col("v_emb"), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup flavor of ANN):
     * LSH-bucket self-join → exact cosine inside buckets → threshold.
     * Never O(n²); candidates come from an equi-join on (table, bucket). */

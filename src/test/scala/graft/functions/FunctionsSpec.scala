@@ -132,6 +132,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.toSeq == Seq((3L, 0.7071), (2L, 0.0)))
   }
 
+  test("IVF ANN recalls in-cluster neighbors (coarse quantizer path)") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.01f).toSeq
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0L until 40L).map(i => i -> jitter(if (i < 20) c1 else c2))
+    val df = vecs(rows: _*)
+    val q = vecs(0L -> rows.head._2)
+    val got = Similarity.ivfTopK(df, q, k = 5, nLists = 4, nProbe = 2)
+    val ids = got.collect().map(_.getLong(1))
+    assert(ids.nonEmpty)
+    ids.foreach(id => assert(id < 20, s"wrong cluster: $id"))
+  }
+
   test("lsh ANN finds the true nearest neighbor for clustered vectors") {
     val rnd = new scala.util.Random(7)
     // two tight clusters far apart
