@@ -237,6 +237,28 @@ object SparkEntry {
           round(element_at(col("embedding"), 1), 4).as("e0"))
         .orderBy("media_id")
     }),
+    "x17_training_pipeline" -> ((s, d) => {
+      // full training-data prep composition: extract → ok filter → quality
+      // floor → lang id → exact dedup → near-dup dedup; reports the funnel
+      val n = math.min(Corpus.docsForSf(d), 3000L)
+      val extracted = ExtractPipeline.extract(s, Corpus.pages(s, n)).toDF()
+        .filter(col("failure") === "ok")
+        .select(col("url"), col("text"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", NativeFunctions.langId(col("text")))
+      val qualified = extracted.filter(col("quality") >= 0.5)
+      val exactDeduped = Dedup.exactDedup(qualified, "url", "text")
+      val nearPairs = Dedup.minhashPairs(
+        exactDeduped.withColumn("doc_id", xxhash64(col("url"))), "doc_id", "text",
+        threshold = 0.8)
+      val dropped = nearPairs.select(col("id_b").as("doc_id"))
+      val finalDocs = exactDeduped.withColumn("doc_id", xxhash64(col("url")))
+        .join(dropped, Seq("doc_id"), "left_anti")
+      extracted.agg(count(lit(1)).as("extracted_ok")).crossJoin(
+        qualified.agg(count(lit(1)).as("qualified"))).crossJoin(
+        exactDeduped.agg(count(lit(1)).as("exact_deduped"))).crossJoin(
+        finalDocs.agg(count(lit(1)).as("final_docs")))
+    }),
     "x16_ivf_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
