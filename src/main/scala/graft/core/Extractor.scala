@@ -42,8 +42,9 @@ final class Extractor(
         }
       } else if (Extractor.looksLikeHtml(bytes)) {
         val decoded = Extractor.decode(bytes)
-        val tokens = HtmlTokenizer.tokenize(decoded, cfg.maxTokens)
-        val blocks = BlockSegmenter.segment(tokens, cfg.fissionMinLinkRun, cfg.fissionMinTextWords)
+        // fast path: scan streams straight into block accumulation
+        val blocks = BlockSegmenter.segmentDirect(
+          decoded, cfg.fissionMinLinkRun, cfg.fissionMinTextWords, cfg.maxTokens)
         if (blocks.isEmpty) row("", Nil, Failure.Empty, 0)
         else {
           val kept = classifier.classify(blocks, cfg)

@@ -17,6 +17,11 @@ import scala.collection.mutable.ArrayBuffer
   * matches the boilerplate pattern — taint all nested blocks (feature, not a
   * drop: classification happens later, like the reference which labels
   * low-confidence glyphs rather than deleting them, main/kd.c:210-251).
+  *
+  * Implemented as a [[HtmlTokenizer.TokenSink]]: the kernel path
+  * ([[segmentDirect]]) streams the scan straight into block accumulation —
+  * no token objects, no intermediate piece strings; text decodes directly
+  * into the per-block buffer with a parallel link-flag BitSet.
   */
 object BlockSegmenter {
 
@@ -51,47 +56,27 @@ object BlockSegmenter {
   /** Word run inside a block: [begin,end) chars, link flag, word count. */
   private final case class Run(begin: Int, end: Int, isLink: Boolean, words: Int)
 
-  /** Segment a token stream into blocks, preserving document order.
-    *
-    * @param fissionMinLinkRun when > 0, a contiguous run of at least this
-    *   many fully-linked words inside a mixed block is SPLIT into its own
-    *   block (wide-glyph fission analog, splitWideGlyphs
-    *   main/segment.c:1224-1386: search for a split point, keep the split
-    *   when the parts score better than the whole — here the "score" is
-    *   the link-density classifier downstream, which can then keep the
-    *   text part and drop the embedded nav). 0 disables fission.
-    */
-  def segment(
-      tokens: IndexedSeq[HtmlTokenizer.Token],
-      fissionMinLinkRun: Int = 4,
-      fissionMinTextWords: Int = 10): Vector[Block] = {
-    import HtmlTokenizer._
-    val blocks = new ArrayBuffer[Block](32)
-    val stack = new ArrayBuffer[OpenElem](16)
+  /** The streaming segmenter. Collect blocks, then call [[result]]. */
+  final class SegmentSink(fissionMinLinkRun: Int, fissionMinTextWords: Int)
+      extends HtmlTokenizer.TokenSink {
 
-    // current block accumulator: (textPiece, isLink)
-    var pieces = new ArrayBuffer[(String, Boolean)](8)
-    var pendingBr = 0
+    private val blocks = new ArrayBuffer[Block](32)
+    private val stack = new ArrayBuffer[OpenElem](16)
+    private val sb = new java.lang.StringBuilder(256)
+    private val linkBits = new java.util.BitSet(256)
+    private var pendingBr = 0
 
-    // maintained depth counters — O(1) per token instead of O(stack) scans
-    // (the segmenter runs once per document at 10^12 scale; this is the
-    // hottest loop in the kernel)
-    var anchorDepthC = 0
-    var boilerDepthC = 0
-    var skipDepthC = 0
-    var blockDepthC = 0
-    var headingDepthC = 0
-    var liDepthC = 0
+    // maintained depth counters — O(1) per token (hottest loop in kernel)
+    private var anchorDepthC = 0
+    private var boilerDepthC = 0
+    private var skipDepthC = 0
+    private var blockDepthC = 0
+    private var headingDepthC = 0
+    private var liDepthC = 0
 
-    def anchorDepth: Int = anchorDepthC
-    def boilerNow: Boolean = boilerDepthC > 0
-    def skipNow: Boolean = skipDepthC > 0
-    def blockDepth: Int = blockDepthC
-    def tagPathNow: String = stack.iterator.filter(_.isBlock).map(_.name).mkString("/")
-    def headingNow: Boolean = headingDepthC > 0
-    def liNow: Boolean = liDepthC > 0
+    private def tagPathNow: String = stack.iterator.filter(_.isBlock).map(_.name).mkString("/")
 
-    def push(e: OpenElem): Unit = {
+    private def push(e: OpenElem): Unit = {
       stack += e
       if (e.anchor) anchorDepthC += 1
       if (e.boiler) boilerDepthC += 1
@@ -101,7 +86,7 @@ object BlockSegmenter {
       if (e.name == "li") liDepthC += 1
     }
 
-    def popFrom(idx: Int): Unit = {
+    private def popFrom(idx: Int): Unit = {
       var k = stack.length - 1
       while (k >= idx) {
         val e = stack(k)
@@ -116,7 +101,7 @@ object BlockSegmenter {
       stack.remove(idx, stack.length - idx)
     }
 
-    def emit(raw: String, begin: Int, end: Int, runs: Seq[Run]): Unit = {
+    private def emit(raw: String, begin: Int, end: Int, runs: Seq[Run]): Unit = {
       val words = runs.iterator.map(_.words).sum
       val linkWords = runs.iterator.filter(_.isLink).map(_.words).sum
       blocks += Block(
@@ -124,24 +109,26 @@ object BlockSegmenter {
         words = words,
         linkWords = linkWords,
         tagPath = tagPathNow,
-        depth = blockDepth,
-        isHeading = headingNow,
-        isLi = liNow,
-        inBoilerContainer = boilerNow)
+        depth = blockDepthC,
+        isHeading = headingDepthC > 0,
+        isLi = liDepthC > 0,
+        inBoilerContainer = boilerDepthC > 0)
     }
 
-    def flush(): Unit = {
-      if (pieces.nonEmpty) {
-        val raw = pieces.iterator.map(_._1).mkString
-        if (raw.exists(!_.isWhitespace)) {
-          // per-char link flags, then word runs (maximal non-ws spans; a
-          // word is a link word if any contributing char was inside an <a>)
-          val flags = new Array[Boolean](raw.length)
-          var off = 0
-          pieces.foreach { case (txt, isLink) =>
-            if (isLink) java.util.Arrays.fill(flags, off, off + txt.length, true)
-            off += txt.length
-          }
+    private def flush(): Unit = {
+      if (sb.length > 0) {
+        // any non-whitespace content?
+        var hasContent = false
+        var ci = 0
+        val len = sb.length
+        while (!hasContent && ci < len) {
+          if (!Character.isWhitespace(sb.charAt(ci))) hasContent = true
+          ci += 1
+        }
+        if (hasContent) {
+          val raw = sb.toString
+          // word runs (maximal non-ws spans; a word is a link word if any
+          // contributing char was inside an <a>)
           val wordRuns = ArrayBuffer.empty[Run]
           var i = 0
           val n = raw.length
@@ -150,8 +137,7 @@ object BlockSegmenter {
             if (i < n) {
               val b = i
               var link = false
-              while (i < n && !raw.charAt(i).isWhitespace) { if (flags(i)) link = true; i += 1 }
-              // merge into previous run if same link flag
+              while (i < n && !raw.charAt(i).isWhitespace) { if (linkBits.get(i)) link = true; i += 1 }
               if (wordRuns.nonEmpty && wordRuns.last.isLink == link) {
                 val last = wordRuns.last
                 wordRuns(wordRuns.length - 1) = Run(last.begin, i, link, last.words + 1)
@@ -159,6 +145,7 @@ object BlockSegmenter {
             }
           }
           // fission: big link runs inside a mixed block become own blocks
+          // (wide-glyph split analog, splitWideGlyphs main/segment.c:1224-1386)
           val bigLinkRuns = wordRuns.count(r => r.isLink && r.words >= fissionMinLinkRun)
           val textWords = wordRuns.iterator.filterNot(_.isLink).map(_.words).sum
           if (fissionMinLinkRun > 0 && bigLinkRuns > 0 &&
@@ -179,57 +166,100 @@ object BlockSegmenter {
             emit(raw, 0, raw.length, wordRuns.toSeq)
           }
         }
-        pieces = new ArrayBuffer[(String, Boolean)](8)
+        sb.setLength(0)
+        linkBits.clear()
       }
       pendingBr = 0
     }
 
-    var ti = 0
-    val tn = tokens.length
-    while (ti < tn) {
-      tokens(ti) match {
-      case StartTag(name, attrs, selfClosing) =>
-        if (name == "br") {
-          pendingBr += 1
-          if (pendingBr >= 2) flush() // <br><br> = paragraph break (G4 analog)
-          else pieces += (("\n", anchorDepth > 0))
-        } else if (name == "hr") {
-          flush()
-        } else {
-          val isBlock = blockTags.contains(name)
-          if (isBlock) flush()
-          if (!selfClosing && !HtmlTokenizer.voidElements.contains(name)) {
-            val boiler = boilerContainerTags.contains(name) || (attrs.nonEmpty && {
-              val idClass = attrs.getOrElse("id", "") + " " + attrs.getOrElse("class", "")
-              idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find()
-            })
-            push(new OpenElem(
-              name,
-              isBlock,
-              boiler,
-              skipTags.contains(name),
-              name == "a"))
-          }
-          pendingBr = 0
-        }
-      case EndTag(name) =>
-        if (blockTags.contains(name)) flush()
-        // pop up to and including the innermost matching open element
-        val idx = stack.lastIndexWhere(_.name == name)
-        if (idx >= 0) popFrom(idx)
-        pendingBr = 0
-      case Text(value) =>
-        if (!skipNow && value.exists(!_.isWhitespace)) {
-          pieces += ((HtmlTokenizer.decodeEntities(value), anchorDepth > 0))
-          pendingBr = 0
-        } else if (!skipNow && pieces.nonEmpty) {
-          // inter-word whitespace still separates words
-          pieces += ((" ", false))
-        }
-      }
-      ti += 1
+    private def append(piece: String, isLink: Boolean): Unit = {
+      val b = sb.length
+      sb.append(piece)
+      if (isLink && sb.length > b) linkBits.set(b, sb.length)
     }
-    flush()
-    blocks.toVector
+
+    override def startTag(name: String, id: String, cls: String, selfClosing: Boolean): Unit = {
+      if (name == "br") {
+        pendingBr += 1
+        if (pendingBr >= 2) flush() // <br><br> = paragraph break (G4 analog)
+        else append("\n", anchorDepthC > 0)
+      } else if (name == "hr") {
+        flush()
+      } else {
+        val isBlock = blockTags.contains(name)
+        if (isBlock) flush()
+        if (!selfClosing && !HtmlTokenizer.voidElements.contains(name)) {
+          val boiler = boilerContainerTags.contains(name) || ((id != null || cls != null) && {
+            val idClass = (if (id == null) "" else id) + " " + (if (cls == null) "" else cls)
+            idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find()
+          })
+          push(new OpenElem(name, isBlock, boiler, skipTags.contains(name), name == "a"))
+        }
+        pendingBr = 0
+      }
+    }
+
+    override def endTag(name: String): Unit = {
+      if (blockTags.contains(name)) flush()
+      // pop up to and including the innermost matching open element
+      val idx = stack.lastIndexWhere(_.name == name)
+      if (idx >= 0) popFrom(idx)
+      pendingBr = 0
+    }
+
+    override def text(html: String, start: Int, end: Int): Unit = {
+      if (skipDepthC > 0) return
+      var hasContent = false
+      var i = start
+      while (!hasContent && i < end) {
+        if (!Character.isWhitespace(html.charAt(i))) hasContent = true
+        i += 1
+      }
+      if (hasContent) {
+        val b = sb.length
+        HtmlTokenizer.decodeEntitiesInto(sb, html, start, end)
+        if (anchorDepthC > 0 && sb.length > b) linkBits.set(b, sb.length)
+        pendingBr = 0
+      } else if (sb.length > 0) {
+        // inter-word whitespace still separates words
+        sb.append(' ')
+      }
+    }
+
+    def result(): Vector[Block] = {
+      flush()
+      blocks.toVector
+    }
+  }
+
+  /** Kernel fast path: scan straight into block accumulation. */
+  def segmentDirect(
+      html: String,
+      fissionMinLinkRun: Int = 4,
+      fissionMinTextWords: Int = 10,
+      maxTokens: Int = Int.MaxValue): Vector[Block] = {
+    val sink = new SegmentSink(fissionMinLinkRun, fissionMinTextWords)
+    HtmlTokenizer.scan(html, maxTokens, sink)
+    sink.result()
+  }
+
+  /** Compat path over materialized tokens (tests/tools). */
+  def segment(
+      tokens: IndexedSeq[HtmlTokenizer.Token],
+      fissionMinLinkRun: Int = 4,
+      fissionMinTextWords: Int = 10): Vector[Block] = {
+    import HtmlTokenizer._
+    val sink = new SegmentSink(fissionMinLinkRun, fissionMinTextWords)
+    var i = 0
+    while (i < tokens.length) {
+      tokens(i) match {
+        case StartTag(name, attrs, selfClosing) =>
+          sink.startTag(name, attrs.getOrElse("id", null), attrs.getOrElse("class", null), selfClosing)
+        case EndTag(name) => sink.endTag(name)
+        case Text(value) => sink.text(value, 0, value.length)
+      }
+      i += 1
+    }
+    sink.result()
   }
 }

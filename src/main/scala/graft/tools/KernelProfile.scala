@@ -30,6 +30,7 @@ object KernelProfile {
     val decoded = time("decode", 3) { payloads.map(p => Extractor.decode(p._1)) }
     val tokens = time("tokenize", 3) { decoded.map(d => HtmlTokenizer.tokenize(d, cfg.maxTokens)) }
     val blocks = time("segment", 3) { tokens.map(t => BlockSegmenter.segment(t, cfg.fissionMinLinkRun, cfg.fissionMinTextWords)) }
+    time("tok+seg-direct", 3) { decoded.map(d => BlockSegmenter.segmentDirect(d, cfg.fissionMinLinkRun, cfg.fissionMinTextWords, cfg.maxTokens)) }
     val kept = time("classify", 3) { blocks.map(b => classify.HeuristicClassifier.classify(b, cfg)) }
     time("assemble", 3) { kept.zip(payloads).map { case (k, (_, lang)) => assemble.TextAssembler.assembleBlocks(k, cfg, lang) } }
     time("end-to-end", 3) { payloads.map(p => Extractor.default.extract("u", p._1, p._2)) }
