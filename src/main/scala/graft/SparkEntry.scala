@@ -259,6 +259,10 @@ object SparkEntry {
         exactDeduped.agg(count(lit(1)).as("exact_deduped"))).crossJoin(
         finalDocs.agg(count(lit(1)).as("final_docs")))
     }),
+    "x18_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    }),
     "x16_ivf_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,

@@ -108,6 +108,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.hammingKernel(a, c) > 12, s"far=${Dedup.hammingKernel(a, c)}")
   }
 
+  test("simhashPairs: pigeonhole join finds low-hamming pairs, skips distant") {
+    val base = "large language models are trained on deduplicated web text corpora " +
+      "because repeated documents waste compute and bias the training distribution"
+    // token order changed → same token multiset → identical simhash
+    // (guaranteed chunk match; edit-sensitivity is covered by the kernel test)
+    val near = base.split(" ").reverse.mkString(" ")
+    val other = "entirely different text on another topic with nothing shared at all " +
+      "between these two documents whatsoever in any words"
+    val pairs = Dedup.simhashPairs(docs(1 -> base, 2 -> near, 3 -> other),
+      "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(pairs.toSeq == Seq((1, 2)))
+  }
+
   test("exactClusters/exactDedup") {
     val df = docs(1 -> "same text", 2 -> "same text", 3 -> "unique text")
     assert(Dedup.exactClusters(df, "doc_id", "text").count() == 2)
