@@ -223,68 +223,125 @@ object PdfTextExtractor {
 
   // --- layout assembly ------------------------------------------------------
 
-  private final case class Line(page: Int, y: Double, fontSize: Double, runs: ArrayBuffer[Run])
+  private final case class Line(page: Int, y: Double, fontSize: Double, runs: ArrayBuffer[Run]) {
+    lazy val sortedRuns: ArrayBuffer[Run] = runs.sortBy(r => (r.x, r.seq))
+    def minX: Double = sortedRuns.head.x
+    def maxX: Double = {
+      var m = Double.MinValue
+      sortedRuns.foreach(r => m = math.max(m, r.x + r.text.length * 0.5 * r.fontSize))
+      m
+    }
+  }
 
-  private[pdf] def assembleRuns(runs: Vector[Run], cfg: ExtractorConfig): (String, Vector[Span]) = {
-    // group runs into lines by (page, y within tolerance)
+  /** Minimum gutter width (pt) for a column split (G2 analog: computeBorders
+    * scans for min-black column dividers, main/segment.c:775-843). Wider
+    * than any plausible word gap so intra-line spacing never fakes a
+    * column boundary. */
+  private val MinGutter = 36.0
+
+  /** Recursive column split of one page's RUNS (the reference splits
+    * columns BEFORE line assembly, main/main.c:252-261 — essential, because
+    * same-y lines in different columns would otherwise merge): find a
+    * vertical gutter no run crosses, with >= 2 runs on >= 2 distinct
+    * baselines on each side; columns read left→right. */
+  private def splitColumns(runs: ArrayBuffer[Run], depth: Int): ArrayBuffer[ArrayBuffer[Run]] = {
+    if (depth <= 0 || runs.length < 4) return ArrayBuffer(runs)
+    def endX(r: Run): Double = r.x + r.text.length * 0.5 * r.fontSize
+    val byX = runs.sortBy(_.x)
+    def distinctYs(rs: collection.Seq[Run]): Int = rs.map(r => math.round(r.y)).distinct.length
+    var bestAt = -1
+    var bestGap = MinGutter
+    var maxReach = Double.MinValue
+    var i = 0
+    while (i < byX.length - 1) {
+      maxReach = math.max(maxReach, endX(byX(i)))
+      val gap = byX(i + 1).x - maxReach
+      if (i >= 1 && i + 1 <= byX.length - 2 && gap > bestGap) {
+        bestGap = gap; bestAt = i
+      }
+      i += 1
+    }
+    if (bestAt < 0) ArrayBuffer(runs)
+    else {
+      val left = byX.take(bestAt + 1)
+      val right = byX.drop(bestAt + 1)
+      if (distinctYs(left) < 2 || distinctYs(right) < 2) ArrayBuffer(runs)
+      else splitColumns(left, depth - 1) ++ splitColumns(right, depth - 1)
+    }
+  }
+
+  private def groupLines(runs: ArrayBuffer[Run], cfg: ExtractorConfig): ArrayBuffer[Line] = {
     val lines = new ArrayBuffer[Line]
     runs.foreach { r =>
-      lines.find(l => l.page == r.page && math.abs(l.y - r.y) <= cfg.pdfLineYTolerance) match {
+      lines.find(l => math.abs(l.y - r.y) <= cfg.pdfLineYTolerance) match {
         case Some(l) => l.runs += r
         case None => lines += Line(r.page, r.y, r.fontSize, ArrayBuffer(r))
       }
     }
-    // total order: (page asc, y desc, first-seq asc)
-    val sorted = lines.sortBy(l => (l.page, -l.y, l.runs.map(_.seq).min))
-    // page-wide left margin for indentation (T2): min x over the whole doc
-    val minX = runs.iterator.map(_.x).min
+    lines
+  }
+
+  private[pdf] def assembleRuns(runs: Vector[Run], cfg: ExtractorConfig): (String, Vector[Span]) = {
+    // page → columns over RUNS (G2) → line grouping → (−y, seq) per column
+    val pages = runs.groupBy(_.page).toSeq.sortBy(_._1)
+    // each element: (column lines sorted top-to-bottom, column minX)
+    val columns = pages.flatMap { case (_, pageRuns) =>
+      val buf = new ArrayBuffer[Run](pageRuns.length)
+      buf ++= pageRuns
+      splitColumns(buf, depth = 2).map { colRuns =>
+        val col = groupLines(colRuns, cfg)
+        (col.sortBy(l => (-l.y, l.runs.map(_.seq).min)), colRuns.iterator.map(_.x).min)
+      }
+    }
 
     val sb = new java.lang.StringBuilder
     val spans = Vector.newBuilder[Span]
-    var prevY = Double.NaN
-    var prevPage = -1
     var first = true
-    sorted.foreach { line =>
-      val fs = line.runs.head.fontSize
-      val charW = 0.5 * fs
-      val lineH = cfg.pdfLineHeightFactor * fs
-      if (!first) {
-        if (line.page != prevPage) {
-          sb.append('\n') // page boundary: single break, no blank-line math
-        } else {
-          val gap = prevY - line.y
-          var blanks = math.floor(gap / lineH).toInt - 1
-          if (blanks < 0) blanks = 0
-          if (blanks > 2) blanks = blanks / 2 + 1 // T3 halving rule
-          sb.append('\n')
-          var k = 0
-          while (k < blanks) { sb.append('\n'); k += 1 }
-        }
-      }
-      val begin = sb.length
-      // indentation (T2)
-      val sortedRuns = line.runs.sortBy(r => (r.x, r.seq))
-      val indent = math.floor((sortedRuns.head.x - minX) / charW).toInt
-      var k = 0
-      while (k < indent) { sb.append(' '); k += 1 }
-      // word spacing between runs (T1)
-      var prevEnd = Double.NaN
-      sortedRuns.foreach { r =>
-        if (!prevEnd.isNaN) {
-          val gap = r.x - prevEnd
-          if (gap > cfg.pdfSpaceFraction * charW) {
-            val nSpaces = math.max(1, math.floor(gap / charW).toInt - 1)
-            var j = 0
-            while (j < nSpaces) { sb.append(' '); j += 1 }
+    columns.foreach { case (colLines, colMinX) =>
+      var prevY = Double.NaN
+      var firstInCol = true
+      colLines.foreach { line =>
+        val fs = line.runs.head.fontSize
+        val charW = 0.5 * fs
+        val lineH = cfg.pdfLineHeightFactor * fs
+        if (!first) {
+          if (firstInCol) {
+            sb.append('\n') // column/page boundary: single break
+          } else {
+            val gap = prevY - line.y
+            var blanks = math.floor(gap / lineH).toInt - 1
+            if (blanks < 0) blanks = 0
+            if (blanks > 2) blanks = blanks / 2 + 1 // T3 halving rule
+            sb.append('\n')
+            var k = 0
+            while (k < blanks) { sb.append('\n'); k += 1 }
           }
         }
-        sb.append(graft.core.assemble.TextAssembler.normalizeChars(r.text))
-        prevEnd = r.x + r.text.length * charW
+        val begin = sb.length
+        // indentation (T2) — relative to the COLUMN's left margin
+        // (reference keeps margins per column, main/segment.c:164-165)
+        val indent = math.floor((line.minX - colMinX) / charW).toInt
+        var k = 0
+        while (k < indent) { sb.append(' '); k += 1 }
+        // word spacing between runs (T1)
+        var prevEnd = Double.NaN
+        line.sortedRuns.foreach { r =>
+          if (!prevEnd.isNaN) {
+            val gap = r.x - prevEnd
+            if (gap > cfg.pdfSpaceFraction * charW) {
+              val nSpaces = math.max(1, math.floor(gap / charW).toInt - 1)
+              var j = 0
+              while (j < nSpaces) { sb.append(' '); j += 1 }
+            }
+          }
+          sb.append(graft.core.assemble.TextAssembler.normalizeChars(r.text))
+          prevEnd = r.x + r.text.length * charW
+        }
+        spans += Span(begin, sb.length, graft.core.BlockKind.Line)
+        prevY = line.y
+        first = false
+        firstInCol = false
       }
-      spans += Span(begin, sb.length, graft.core.BlockKind.Line)
-      prevY = line.y
-      prevPage = line.page
-      first = false
     }
     sb.append('\n')
     (sb.toString, spans.result())

@@ -255,6 +255,42 @@ object FixtureGen {
     var pg = 0
     while (pg < nPages) {
       val cs = new java.lang.StringBuilder
+      if (rng.nextInt(5) == 0) {
+        // TWO-COLUMN page (G2 coverage): left col at x=72, right at x=312 —
+        // gutter >= 36pt guaranteed (left lines are <= 3 short words).
+        // Expected reading order: whole left column, then right column,
+        // single '\n' at the column boundary.
+        var side = 0
+        while (side < 2) {
+          val x0 = if (side == 0) 72.0 else 312.0
+          var y = 720.0
+          val nL = 2 + rng.nextInt(2)
+          var ln = 0
+          while (ln < nL) {
+            var blanks = 0
+            if (ln > 0) {
+              val g = if (rng.nextInt(3) == 0) 1 else 0
+              y -= (lineH * (g + 1) + 7.0)
+              blanks = g
+            }
+            val nw = 2 + rng.nextInt(2)
+            val t = (0 until nw).map(_ => pick(rng, words)).mkString(" ")
+            cs.append(f"BT /F1 ${fontSize}%.0f Tf $x0%.1f $y%.1f Td ($t) Tj ET\n")
+            if (!firstLine) {
+              sbText.append('\n')
+              if (ln > 0) { var k = 0; while (k < blanks) { sbText.append('\n'); k += 1 } }
+            }
+            val begin = sbText.length
+            sbText.append(t)
+            spans += Span(begin, sbText.length, "line")
+            firstLine = false
+            ln += 1
+          }
+          side += 1
+        }
+        streams += cs.toString
+        pg += 1
+      } else {
       var y = 720.0
       val nLines = 2 + rng.nextInt(5)
       var ln = 0
@@ -275,8 +311,9 @@ object FixtureGen {
           y -= (lineH * (g + 1) + 7.0) // strictly inside (g+1, g+2) multiples
           blanks = if (g > 2) g / 2 + 1 else g
         }
-        // first line of the doc pins minX = x0 so T2 indents are well-defined
-        val indent = if (!firstLine && rng.nextInt(4) == 0) 1 + rng.nextInt(4) else 0
+        // first line of each PAGE pins that page's column minX = x0 so T2
+        // column-relative indents are well-defined
+        val indent = if (ln > 0 && rng.nextInt(4) == 0) 1 + rng.nextInt(4) else 0
         val nRuns = 1 + rng.nextInt(3)
         val runTexts = new ArrayBuffer[String](nRuns)
         var r = 0
@@ -319,6 +356,7 @@ object FixtureGen {
       streams += cs.toString
       pg += 1
       prevWasLine = false // page boundary resets paragraph arithmetic
+      }
     }
     sbText.append('\n')
 

@@ -85,6 +85,33 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     assert(spans == Vector(Span(0, 2, "line"), Span(3, 5, "line")))
   }
 
+  test("two-column page: left column read fully before right (G2 analog)") {
+    // identical baselines across columns — without run-level column split
+    // these lines would merge and interleave
+    val s = "BT /F1 12 Tf 72 720 Td (left one) Tj ET\n" +
+            "BT /F1 12 Tf 312 720 Td (right one) Tj ET\n" +
+            "BT /F1 12 Tf 72 700 Td (left two) Tj ET\n" +
+            "BT /F1 12 Tf 312 700 Td (right two) Tj ET\n"
+    assert(text(s) == "left one\nleft two\nright one\nright two\n")
+  }
+
+  test("word gaps never fake a column split (gutter threshold)") {
+    // two runs per line with a 24pt aligned gap — below the 36pt gutter
+    val s = "BT /F1 12 Tf 72 720 Td (aa) Tj ET\nBT /F1 12 Tf 108 720 Td (bb) Tj ET\n" +
+            "BT /F1 12 Tf 72 700 Td (cc) Tj ET\nBT /F1 12 Tf 108 700 Td (dd) Tj ET\n"
+    // gap = 108 - (72+12) = 24 < 36 → one column, runs joined as words
+    val t0 = text(s)
+    assert(t0 == "aa   bb\ncc   dd\n", t0)
+  }
+
+  test("column-relative indentation (T2 per column margin)") {
+    val s = "BT /F1 12 Tf 72 720 Td (lefthead) Tj ET\n" +
+            "BT /F1 12 Tf 84 700 Td (leftind) Tj ET\n" + // (84-72)/6 = 2
+            "BT /F1 12 Tf 312 720 Td (righthead) Tj ET\n" +
+            "BT /F1 12 Tf 324 700 Td (rightind) Tj ET\n" // relative to 312 → 2
+    assert(text(s) == "lefthead\n  leftind\nrighthead\n  rightind\n")
+  }
+
   test("no text runs → None (parse_error taxonomy upstream)") {
     assert(PdfTextExtractor.extract("%PDF-1.4\ngarbage no streams".getBytes, cfg).isEmpty)
   }
