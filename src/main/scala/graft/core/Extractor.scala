@@ -34,7 +34,7 @@ final class Extractor(
       if (bytes == null || bytes.length == 0) row("", Nil, Failure.Empty, 0)
       else if (bytes.length > cfg.maxPayloadBytes) row("", Nil, Failure.Oversize, 0)
       else if (Extractor.isPdf(bytes)) {
-        PdfTextExtractor.extract(bytes, cfg) match {
+        PdfTextExtractor.extract(bytes, cfg, rtl = cfg.rtlLangs.contains(lang)) match {
           case Some((text, spans)) if text.exists(!_.isWhitespace) =>
             row(text, spans, Failure.Ok, spans.length)
           case Some(_) => row("", Nil, Failure.Empty, 0)

@@ -32,12 +32,14 @@ object PdfTextExtractor {
   final case class Run(page: Int, x: Double, y: Double, fontSize: Double, text: String, seq: Int)
 
   /** Extract (text, spans) from raw PDF bytes. Spans are one per output
-    * line, kind = "line". Returns None on unparseable payloads. */
-  def extract(bytes: Array[Byte], cfg: ExtractorConfig): Option[(String, Vector[Span])] = {
+    * line, kind = "line". Returns None on unparseable payloads.
+    * @param rtl reverse column reading order (reference: RTL books process
+    *            columns right-to-left, main/main.c:252-261) */
+  def extract(bytes: Array[Byte], cfg: ExtractorConfig, rtl: Boolean = false): Option[(String, Vector[Span])] = {
     val content = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val runs = parseRuns(content)
     if (runs.isEmpty) return None
-    Some(assembleRuns(runs, cfg))
+    Some(assembleRuns(runs, cfg, rtl))
   }
 
   /** Parse every `stream...endstream` body as a content stream; one stream =
@@ -281,14 +283,16 @@ object PdfTextExtractor {
     lines
   }
 
-  private[pdf] def assembleRuns(runs: Vector[Run], cfg: ExtractorConfig): (String, Vector[Span]) = {
+  private[pdf] def assembleRuns(runs: Vector[Run], cfg: ExtractorConfig, rtl: Boolean = false): (String, Vector[Span]) = {
     // page → columns over RUNS (G2) → line grouping → (−y, seq) per column
     val pages = runs.groupBy(_.page).toSeq.sortBy(_._1)
     // each element: (column lines sorted top-to-bottom, column minX)
     val columns = pages.flatMap { case (_, pageRuns) =>
       val buf = new ArrayBuffer[Run](pageRuns.length)
       buf ++= pageRuns
-      splitColumns(buf, depth = 2).map { colRuns =>
+      val cols = splitColumns(buf, depth = 2)
+      val ordered = if (rtl) cols.reverse else cols // RTL: right column first
+      ordered.map { colRuns =>
         val col = groupLines(colRuns, cfg)
         (col.sortBy(l => (-l.y, l.runs.map(_.seq).min)), colRuns.iterator.map(_.x).min)
       }

@@ -81,8 +81,17 @@ object ExtractJob {
     lineage.drop("run_id").write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
 
     val newDocs = observed.getOrElse("docs", 0L).asInstanceOf[Long]
-    store.commit(runId, newDocs) // commit LAST — a crash before this line leaves
-                                 // an uncommitted run that the next run redoes
+    // source fingerprint = hash of the input file listing (the parquet
+    // surrogate of an Iceberg source snapshot id)
+    val files = pages.inputFiles
+    val fingerprint =
+      if (files.isEmpty) "inmemory"
+      else java.lang.Long.toHexString(
+        files.sorted.foldLeft(0xCBF29CE484222325L)((h, f) =>
+          (h ^ f.hashCode.toLong) * 0x100000001B3L))
+    store.commit(runId, newDocs, fingerprint) // commit LAST — a crash before
+                                 // this line leaves an uncommitted run that
+                                 // the next run redoes
     RunResult(runId, newDocs, newDocs)
   }
 
@@ -111,7 +120,7 @@ trait CheckpointStore {
   def nextRunId(): Long
   def committedRunIds(): Seq[Long]
   def committedUrls(): Option[DataFrame]
-  def commit(runId: Long, docCount: Long): Unit
+  def commit(runId: Long, docCount: Long, sourceFingerprint: String): Unit
 }
 
 final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends CheckpointStore {
@@ -134,10 +143,10 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
       .select("url"))
   }
 
-  override def commit(runId: Long, docCount: Long): Unit = {
+  override def commit(runId: Long, docCount: Long, sourceFingerprint: String): Unit = {
     import spark.implicits._
-    Seq((runId, docCount, java.time.Instant.now.toString))
-      .toDF("run_id", "doc_count", "committed_at")
+    Seq((runId, docCount, sourceFingerprint, java.time.Instant.now.toString))
+      .toDF("run_id", "doc_count", "source_fingerprint", "committed_at")
       .write.mode(SaveMode.Append).parquet(path)
   }
 }

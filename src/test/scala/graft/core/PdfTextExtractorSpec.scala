@@ -112,6 +112,15 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     assert(text(s) == "lefthead\n  leftind\nrighthead\n  rightind\n")
   }
 
+  test("RTL documents read the right column first (G2 RTL order)") {
+    val s = "BT /F1 12 Tf 72 720 Td (left a) Tj ET\n" +
+            "BT /F1 12 Tf 312 720 Td (right a) Tj ET\n" +
+            "BT /F1 12 Tf 72 700 Td (left b) Tj ET\n" +
+            "BT /F1 12 Tf 312 700 Td (right b) Tj ET\n"
+    val rtl = PdfTextExtractor.extract(pdf(s), cfg, rtl = true).get._1
+    assert(rtl == "right a\nright b\nleft a\nleft b\n")
+  }
+
   test("no text runs → None (parse_error taxonomy upstream)") {
     assert(PdfTextExtractor.extract("%PDF-1.4\ngarbage no streams".getBytes, cfg).isEmpty)
   }
