@@ -113,32 +113,35 @@ object HtmlTokenizer {
   }
 
   /** Decode character references of s[start,end) APPENDING into `sb` —
-    * the allocation-free variant the kernel uses. */
+    * the allocation-free variant the kernel uses. Segments between '&'s are
+    * bulk-copied (intrinsified), not iterated char by char. */
   def decodeEntitiesInto(sb: java.lang.StringBuilder, s: String, start: Int, end: Int): Unit = {
     var i = start
     while (i < end) {
+      val amp = s.indexOf('&', i)
+      if (amp < 0 || amp >= end) { sb.append(s, i, end); return }
+      if (amp > i) sb.append(s, i, amp)
+      i = amp
       val c = s.charAt(i)
-      if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi < end && semi - i <= 12) {
-          val body = s.substring(i + 1, semi)
-          if (body.startsWith("#x") || body.startsWith("#X")) {
-            try {
-              val cp = Integer.parseInt(body.substring(2), 16)
-              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
-              else { sb.append(c); i += 1 }
-            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-          } else if (body.startsWith("#")) {
-            try {
-              val cp = Integer.parseInt(body.substring(1))
-              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
-              else { sb.append(c); i += 1 }
-            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-          } else namedEntities.get(body) match {
-            case Some(rep) => sb.append(rep); i = semi + 1
-            case None => sb.append(c); i += 1
-          }
-        } else { sb.append(c); i += 1 }
+      val semi = s.indexOf(';', i + 1)
+      if (semi > i && semi < end && semi - i <= 12) {
+        val body = s.substring(i + 1, semi)
+        if (body.startsWith("#x") || body.startsWith("#X")) {
+          try {
+            val cp = Integer.parseInt(body.substring(2), 16)
+            if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+            else { sb.append(c); i += 1 }
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else if (body.startsWith("#")) {
+          try {
+            val cp = Integer.parseInt(body.substring(1))
+            if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+            else { sb.append(c); i += 1 }
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else namedEntities.get(body) match {
+          case Some(rep) => sb.append(rep); i = semi + 1
+          case None => sb.append(c); i += 1
+        }
       } else { sb.append(c); i += 1 }
     }
   }
