@@ -20,6 +20,9 @@ import org.apache.spark.sql.types._
   * sliding-window doc counts per host over `warc_ts` — the streaming
   * equivalent of the batch lineage rows.
   */
+/** Accumulated per-host crawl counters (stateful streaming). */
+final case class HostState(host: String, docs: Long, bytes: Long)
+
 object StreamingExtract {
 
   /** input_hint schema (url, warc_ts, html, text, lang). */
@@ -50,6 +53,33 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Per-host CUMULATIVE crawl state across incremental drains — the
+    * custom-state streaming operator (KeyValueGroupedDataset
+    * .mapGroupsWithState): state persists in the checkpointed state store,
+    * so a host's totals keep accumulating across AvailableNow runs.
+    * (Extraction itself needs no state; this is the lineage-counter flavor
+    * a long-running crawl monitor would keep.) */
+  def hostStateStream(spark: SparkSession, inDir: String): org.apache.spark.sql.Dataset[HostState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val pages = spark.readStream.schema(pageSchema).parquet(inDir)
+    pages
+      .withColumn("host", ExtractPipeline.hostUdf(col("url")))
+      .select(col("host").as[String], length(col("html")).cast("long").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[HostState, HostState](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (host: String, rows: Iterator[(String, Long)], state: GroupState[HostState]) =>
+          val prev = state.getOption.getOrElse(HostState(host, 0L, 0L))
+          var docs = prev.docs
+          var bytes = prev.bytes
+          rows.foreach { r => docs += 1; bytes += r._2 }
+          val next = HostState(host, docs, bytes)
+          state.update(next)
+          next
+      }
   }
 
   /** Event-time lineage metrics: per-host doc counts in 1-minute windows,

@@ -51,6 +51,41 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("mapGroupsWithState: per-host counters accumulate across drains") {
+    val base = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    def drain(): Unit = {
+      // foreachBatch parquet sink: checkpoint-recoverable (memory sink isn't)
+      val q = StreamingExtract.hostStateStream(spark, in).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.HostState], _: Long) =>
+          df.write.mode("append").parquet(out): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def hotDocs(): Long = spark.read.parquet(out)
+      .filter(col("host") === "hot.example.com")
+      .agg(max("docs")).collect()(0).getLong(0) // counters grow monotonically
+    Corpus.pages(spark, 200).write.mode("append").parquet(in)
+    drain()
+    val hot1 = hotDocs()
+    assert(hot1 > 30) // ~30% of 200
+
+    // second batch lands; state must CONTINUE from the store, not restart
+    Corpus.pages(spark, 500).filter(not(col("url").isin(
+      Corpus.pages(spark, 200).select("url").collect().map(_.getString(0)).toSeq: _*)))
+      .write.mode("append").parquet(in)
+    drain()
+    val hot2 = hotDocs()
+    val expected = (0L until 500L).count(i =>
+      graft.fixtures.FixtureGen.fixtureAt(42L, i).url.contains("hot.example.com"))
+    assert(hot2 == expected, s"hot2=$hot2 expected=$expected (cumulative)")
+    assert(hot2 > hot1)
+  }
+
   test("watermarked windowed metrics stream aggregates per host") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_m").toString
     val in = s"$base/in"
