@@ -76,7 +76,11 @@ object Bench {
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.tools.ScalingChild")
     cmd.add(cpus.toString); cmd.add(corpusDir); cmd.add(nDocs.toString); cmd.add(warmup.toString)
-    val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+    // merge stderr into stdout and read ONE stream: the child (Spark logs
+    // to stderr) can otherwise fill the undrained ~64KB stderr pipe and
+    // deadlock against our stdout read (ADVICE r1). The RATE line is
+    // line-anchored, so merged log noise cannot corrupt the parse.
+    val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
     out.linesIterator.collectFirst { case l if l.startsWith("RATE ") => l.drop(5).toDouble }
