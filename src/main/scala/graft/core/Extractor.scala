@@ -98,6 +98,13 @@ object Extractor {
   private val charsetPattern =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_:.-]+)")
 
+  /** windows-1252 — the real JVM charset, NOT ISO-8859-1: bytes 0x80–0x9F
+    * are smart quotes / dashes / bullets in cp1252 but C1 controls in
+    * latin-1, and a large slice of the web declares one while meaning the
+    * other. Following the WHATWG encoding standard, latin-1 labels are
+    * decoded AS windows-1252 (VERDICT r1 fix #3). */
+  private val cp1252: Charset = Charset.forName("windows-1252")
+
   /** Charset detection: BOM, else meta-charset sniff over the first 1024
     * bytes, else UTF-8. Bad bytes decode to U+FFFD (fixed policy — SURVEY
     * §7.4.2). */
@@ -110,7 +117,7 @@ object Extractor {
       if (m.find()) {
         val name = m.group(1).toLowerCase
         if (name == "iso-8859-1" || name == "latin1" || name == "latin-1" || name == "windows-1252")
-          StandardCharsets.ISO_8859_1
+          cp1252
         else StandardCharsets.UTF_8
       } else StandardCharsets.UTF_8
     new String(bytes, cs) // CharsetDecoder default REPLACE via String ctor

@@ -93,6 +93,12 @@ final case class ExtractorConfig(
     fusionMaxWords: Int = 10,
     fusionMaxLinkDensity: Double = 0.1,
     fusionMinWords: Int = 3,
+    /** fusion acceptance: true = score-compared (the reference's rule —
+      * keep a merge only if the MERGED region's classification distance
+      * does not exceed the worse neighbor, main/segment.c:999-1025);
+      * false = the per-block word-count/link-density gate only (the
+      * `-A alwaysCombine`-style override) */
+    fusionScoreGate: Boolean = true,
     /** fission (wide-block split, G12 analog): a contiguous run of >= this
       * many fully-linked words inside a mixed block splits out (0 = off) */
     fissionMinLinkRun: Int = 4,

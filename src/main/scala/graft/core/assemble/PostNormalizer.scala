@@ -11,8 +11,12 @@ import graft.core.Span
   */
 object PostNormalizer {
 
-  /** One ordered substitution pass: regex → replacement. */
-  final case class Rule(pattern: String, replacement: String) {
+  /** One ordered substitution pass: regex → replacement. `global = false`
+    * replaces only the FIRST match per segment — the analog of a Perl
+    * `s///` without `/g`, which the reference's transliterators use for
+    * context-sensitive digraphs (armenian.transcribe.pl:22-30 run once per
+    * line; [[applyWithSpans]] runs rules once per span segment). */
+  final case class Rule(pattern: String, replacement: String, global: Boolean = true) {
     @transient lazy val compiled: java.util.regex.Pattern =
       java.util.regex.Pattern.compile(pattern)
   }
@@ -35,15 +39,77 @@ object PostNormalizer {
     // generic typographic cleanup available to any latin corpus
     "latin-cleanup" -> Seq(
       Rule("\\u2018|\\u2019", "'"),
-      Rule("\\u201C|\\u201D", "\"")))
+      Rule("\\u201C|\\u201D", "\"")),
+    // Western-Armenian → Roman/IPA transcription — the reference's full
+    // table (armenian.transcribe.pl:20-75), verbatim: the unrecognized-
+    // glyph box first (line 20), then the ORDERED context-sensitive
+    // digraph rules (lines 22-30; Perl s/// without /g = once per line →
+    // global = false, once per span segment here), then the global
+    // single-letter table (lines 31-72). (?U) makes \b Unicode-aware —
+    // Java's default \b is ASCII-only and would never fire on Armenian.
+    "hy-latin" -> (Seq(
+      Rule("\u25AF", " "),
+      Rule("\u0578\u0582", "u", global = false),
+      Rule("(?U)\u0578\u0575\\b", "o", global = false),
+      Rule("(?U)\\b\u0565", "j\u025B", global = false),
+      Rule("(?U)\\b\u0578", "vo", global = false),
+      Rule("\u0561\u0575", "\u0251j", global = false),
+      Rule("\u0575\u0561|\u056B\u0561|\u0565\u0561|\u0565\u0561\u0575", "j\u0251", global = false),
+      Rule("\u0565\u0575|\u0567\u0575", "\u025Bj", global = false),
+      Rule("\u0578\u0582\u0575|\u0578\u0575", "uj", global = false),
+      Rule("\u0575\u0578\u0582|\u056B\u0582", "ju", global = false)) ++ Seq(
+      "\u0561" -> "\u0251",       // ayb
+      "\u0562" -> "p",            // pen (ben)
+      "\u0563" -> "k\u02B0",      // kim (gim)
+      "\u0564" -> "t\u02B0",      // ta (da)
+      "\u0565" -> "\u025B",       // yech (ech)
+      "\u0566" -> "z",            // za
+      "\u0567" -> "\u025B",       // eh
+      "\u0568" -> "\u0259",       // et
+      "\u0569" -> "t\u02B0",      // to
+      "\u056A" -> "\u0292",       // zhe
+      "\u056B" -> "i",            // ini
+      "\u056C" -> "l",            // liwn
+      "\u053C" -> "L",            // liwn (capital)
+      "\u056D" -> "\u03C7",       // xeh
+      "\u056E" -> "dz",           // dza (ca)
+      "\u056F" -> "g",            // gen (ken)
+      "\u0570" -> "h",            // ho
+      "\u0571" -> "ts\u02B0",     // tsa (ja)
+      "\u0572" -> "\u0281",       // ghad
+      "\u0573" -> "d\u0292",      // cheh (je)
+      "\u0574" -> "m",            // men
+      "\u0575" -> "j",            // hee (yi)
+      "\u0576" -> "n",            // now
+      "\u0577" -> "\u0283",       // sha
+      "\u0578" -> "o",            // vo
+      "\u0579" -> "t\u0283\u02B0", // cha
+      "\u057A" -> "b",            // bey (peh)
+      "\u057B" -> "t\u0283\u02B0", // che (jheh)
+      "\u057C" -> "\u027E",       // ra
+      "\u057D" -> "s",            // seh
+      "\u057E" -> "v",            // vew
+      "\u057F" -> "d",            // diun (tiwn)
+      "\u0580" -> "\u027E",       // reh
+      "\u0581" -> "ts\u02B0",     // co
+      "\u0582" -> "v",            // yiwn
+      "\u0583" -> "p\u02B0",      // piwr
+      "\u0584" -> "k\u02B0",      // keh
+      "\u0585" -> "o",            // oh
+      "\u0586" -> "f",            // feh
+      "\u055A" -> "'",            // apostrophe
+      "\u055C" -> "!",            // exclamation mark
+      "\u055E" -> "?"             // question mark
+    ).map { case (p, r) => Rule(p, r) }))
 
   /** Apply the `lang` registry (no-op for unknown langs). */
   def apply(text: String, lang: String): String =
     registry.get(lang) match {
       case None => text
       case Some(rules) => rules.foldLeft(text) { (t, r) =>
-        r.compiled.matcher(t).replaceAll(
-          java.util.regex.Matcher.quoteReplacement(r.replacement))
+        val quoted = java.util.regex.Matcher.quoteReplacement(r.replacement)
+        val m = r.compiled.matcher(t)
+        if (r.global) m.replaceAll(quoted) else m.replaceFirst(quoted)
       }
     }
 

@@ -31,6 +31,20 @@ trait BlockClassifier extends Serializable {
   */
 object HeuristicClassifier extends BlockClassifier {
 
+  /** Classification distance of a feature tuple from the "content" profile:
+    * 0 = confident content, positive = proportional rule violations (link
+    * density over the content ceiling + word shortfall). The scalar the
+    * score-compared fusion gate minimizes — the rule-based stand-in for
+    * the reference's kd-NN glyph distance (main/kd.c:210-251). */
+  private[classify] def contentDistance(words: Int, linkWords: Int, cfg: ExtractorConfig): Double = {
+    val ld = if (words == 0) 1.0 else linkWords.toDouble / words
+    val ldPenalty = math.max(0.0, ld - cfg.maxContentLinkDensity)
+    val wordPenalty =
+      if (words >= cfg.minContentWords) 0.0
+      else (cfg.minContentWords - words).toDouble / cfg.minContentWords
+    ldPenalty + wordPenalty
+  }
+
   private final val Drop = 0
   private final val Content = 1
   private final val Heading = 2
@@ -55,8 +69,16 @@ object HeuristicClassifier extends BlockClassifier {
       i += 1
     }
 
-    // pass 2: fusion — short clean block between two content blocks absorbed
-    // (G10/G11 analog: merge kept only if the fused region still scores well)
+    // pass 2: fusion — short block between two content blocks absorbed.
+    // G10 fidelity (main/segment.c:999-1025): with fusionScoreGate the
+    // decision is search-over-candidates, score, keep-best — the MERGED
+    // region (prev + b + next) is re-scored as one block, and the merge is
+    // kept only if its classification distance does not exceed the worse
+    // of the two kept neighbors. Unlike the per-block link-density gate
+    // (fusionScoreGate = false), this absorbs a linky-but-short fragment
+    // between two long paragraphs (merged density stays fine) while
+    // rejecting the same fragment between two short near-threshold blocks
+    // (merged density crosses the content rule).
     i = 1
     while (i < n - 1) {
       if (labels(i) == Drop) {
@@ -64,9 +86,20 @@ object HeuristicClassifier extends BlockClassifier {
         val prevKept = labels(i - 1) == Content || labels(i - 1) == ListItem
         val nextKept = labels(i + 1) == Content || labels(i + 1) == ListItem
         if (prevKept && nextKept && !b.inBoilerContainer && !b.isHeading &&
-            b.words >= cfg.fusionMinWords && b.words <= cfg.fusionMaxWords &&
-            b.linkDensity <= cfg.fusionMaxLinkDensity)
-          labels(i) = Content
+            b.words >= cfg.fusionMinWords && b.words <= cfg.fusionMaxWords) {
+          val accept =
+            if (cfg.fusionScoreGate) {
+              val p = blocks(i - 1)
+              val nx = blocks(i + 1)
+              val dMerged = contentDistance(
+                p.words + b.words + nx.words,
+                p.linkWords + b.linkWords + nx.linkWords, cfg)
+              dMerged <= math.max(
+                contentDistance(p.words, p.linkWords, cfg),
+                contentDistance(nx.words, nx.linkWords, cfg))
+            } else b.linkDensity <= cfg.fusionMaxLinkDensity
+          if (accept) labels(i) = Content
+        }
       }
       i += 1
     }

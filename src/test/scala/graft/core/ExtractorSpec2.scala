@@ -1,0 +1,48 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Charset fidelity goldens (VERDICT r1 #3): windows-1252 smart punctuation
+  * must decode as punctuation, not C1 controls; latin-1 labels follow the
+  * WHATWG mapping to windows-1252. */
+class CharsetDecodeSpec extends AnyFunSuite {
+
+  private def page(metaCharset: String, payload: Array[Byte]): Array[Byte] = {
+    val head = ("<html><head><meta charset=\"" + metaCharset + "\"></head><body><p>")
+      .getBytes(ISO_8859_1)
+    val tail = (" plus enough plain trailing words here to pass the content" +
+      " threshold easily for this paragraph block</p></body></html>").getBytes(ISO_8859_1)
+    head ++ payload ++ tail
+  }
+
+  // It's "quoted" - dash * bullet, in cp1252 high bytes
+  private val cp1252Payload = Array[Byte](
+    'I', 't', 0x92.toByte, 's', ' ',
+    0x93.toByte, 'q', 'u', 'o', 't', 'e', 'd', 0x94.toByte, ' ',
+    0x96.toByte, ' ', 'd', 'a', 's', 'h', ' ',
+    0x95.toByte, ' ', 'b', 'u', 'l', 'l', 'e', 't')
+
+  test("golden: windows-1252 bytes 0x80-0x9F decode to smart punctuation") {
+    val r = Extractor.default.extract(
+      "https://t.example/cp1252", page("windows-1252", cp1252Payload), "en")
+    assert(r.failure == "ok")
+    assert(r.text.startsWith(
+      "It\u2019s \u201Cquoted\u201D \u2013 dash \u2022 bullet"), r.text)
+  }
+
+  test("golden: iso-8859-1 label maps to windows-1252 (WHATWG rule)") {
+    val r = Extractor.default.extract(
+      "https://t.example/latin1", page("iso-8859-1", cp1252Payload), "en")
+    assert(r.failure == "ok")
+    assert(r.text.startsWith("It\u2019s \u201Cquoted\u201D \u2013 dash"), r.text)
+  }
+
+  test("plain latin-1 accented bytes still decode (shared cp1252 range)") {
+    val payload = "caf\u00E9 na\u00EFve".getBytes(ISO_8859_1) // 0xE9/0xEF identical in cp1252
+    val r = Extractor.default.extract(
+      "https://t.example/accents", page("iso-8859-1", payload), "en")
+    assert(r.failure == "ok")
+    assert(r.text.startsWith("caf\u00E9 na\u00EFve"), r.text)
+  }
+}

@@ -84,4 +84,16 @@ class HtmlTokenizerSpec extends AnyFunSuite {
     val t = tokenize(html, maxTokens = 50)
     assert(t.length <= 50)
   }
+
+  test("numeric refs: surrogate code points map to U+FFFD (HTML5), never lone surrogates") {
+    import graft.core.html.HtmlTokenizer.decodeEntities
+    assert(decodeEntities("a&#55296;b") == "a\uFFFDb")   // U+D800 decimal
+    assert(decodeEntities("a&#xD800;b") == "a\uFFFDb")
+    assert(decodeEntities("a&#xDFFF;b") == "a\uFFFDb")
+    // above U+10FFFF is not a valid code point: literal passthrough (existing policy)
+    assert(decodeEntities("a&#x110000;b") == "a&#x110000;b")
+    // astral-plane refs still decode to proper surrogate PAIRS
+    assert(decodeEntities("a&#x1F600;b") == "a\uD83D\uDE00b")
+  }
+
 }

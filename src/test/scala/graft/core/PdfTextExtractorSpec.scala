@@ -128,4 +128,74 @@ class PdfTextExtractorSpec extends AnyFunSuite {
   test("char normalization applied (ligatures) but whitespace preserved") {
     assert(text("BT /F1 12 Tf 72 720 Td (­x) Tj ET\n") == "x\n")
   }
+
+  // --- FlateDecode / /Length / /Rotate (VERDICT r1 #2/#4) ------------------
+
+  private def deflate(s: String): Array[Byte] = {
+    val in = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def pdfObj(dictExtra: String, body: Array[Byte]): Array[Byte] = {
+    val head = (s"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n" +
+      s"3 0 obj << /Length ${body.length}$dictExtra >> stream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream endobj\ntrailer\n%%EOF\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    head ++ body ++ tail
+  }
+
+  test("FlateDecode content stream inflates to the identical text") {
+    val cs = "BT /F1 12 Tf 72 720 Td (compressed body) Tj ET\n" +
+             "BT /F1 12 Tf 72 700 Td (second line) Tj ET\n"
+    val plain = PdfTextExtractor.extract(pdf(cs), cfg).get
+    val flated = PdfTextExtractor.extract(pdfObj(" /Filter /FlateDecode", deflate(cs)), cfg).get
+    assert(flated == plain)
+    assert(flated._1 == "compressed body\nsecond line\n")
+  }
+
+  test("corrupt FlateDecode body yields no runs (None), never throws") {
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    assert(PdfTextExtractor.extract(pdfObj(" /Filter /FlateDecode", junk), cfg).isEmpty)
+  }
+
+  test("/Length bounds the body: a deflate body containing 'endstream' bytes cannot truncate the scan") {
+    val cs = "BT /F1 12 Tf 72 720 Td (guarded) Tj ET\n"
+    val body = "endstream ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      Array.empty[Byte] // a hostile prefix inside the body
+    // raw (uncompressed) stream whose BODY contains the keyword: with
+    // /Length honored the parser must still find the real boundary
+    val full = body ++ cs.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val t = PdfTextExtractor.extract(pdfObj("", full), cfg).get._1
+    assert(t == "guarded\n")
+  }
+
+  test("/Rotate 90/180/270 pages come back in reading orientation (G1 analog)") {
+    // display layout: "top" at (72,720), "bottom" at (72,700) — emitted in
+    // content coords pre-rotated by the inverse transform per rotation
+    def obj(rot: Int, runs: Seq[(Double, Double, String)]): Array[Byte] = {
+      val cs = runs.map { case (x, y, t) =>
+        val (cx, cy) = rot match {
+          case 90 => (-y, x)
+          case 180 => (-x, -y)
+          case 270 => (y, -x)
+          case _ => (x, y)
+        }
+        String.format(java.util.Locale.ROOT,
+          "BT /F1 12 Tf %.1f %.1f Td (%s) Tj ET\n", Double.box(cx), Double.box(cy), t)
+      }.mkString
+      pdfObj(s" /Rotate $rot", cs.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    val layout = Seq((72.0, 720.0, "top"), (72.0, 700.0, "bottom"))
+    for (rot <- Seq(90, 180, 270)) {
+      val t = PdfTextExtractor.extract(obj(rot, layout), cfg).get._1
+      assert(t == "top\nbottom\n", s"rot=$rot got ${t.replace("\n", "\\n")}")
+    }
+  }
 }

@@ -43,4 +43,28 @@ class PostNormalizerSpec extends AnyFunSuite {
     assert(Spans.at(spans, 25).isEmpty)
     assert(Spans.overlapping(spans, 4, 8).map(_.kind) == Vector("heading", "content"))
   }
+
+  test("hy-latin: Western-Armenian transcription table (armenian.transcribe.pl:20-75)") {
+    // \u0570\u0561\u0575 "hay": digraph \u0561\u0575 -> \u0251j (once), then \u0570 -> h
+    assert(PostNormalizer.apply("\u0570\u0561\u0575", "hy-latin") == "h\u0251j")
+    // \u0564\u0578\u0582 "du": digraph \u0578\u0582 -> u (once), then \u0564 -> t\u02B0
+    assert(PostNormalizer.apply("\u0564\u0578\u0582", "hy-latin") == "t\u02B0u")
+    // \u0578\u057D\u056F\u056B "voski": word-initial \u0578 -> vo, letters -> s g i
+    assert(PostNormalizer.apply("\u0578\u057D\u056F\u056B", "hy-latin") == "vosgi")
+    // Armenian punctuation: question/exclamation/apostrophe marks
+    assert(PostNormalizer.apply("\u055E", "hy-latin") == "?")
+    assert(PostNormalizer.apply("\u055C", "hy-latin") == "!")
+    assert(PostNormalizer.apply("\u055A", "hy-latin") == "'")
+    // unrecognized-glyph box becomes a space, as in hy
+    assert(PostNormalizer.apply("a\u25AFb", "hy-latin") == "a b")
+  }
+
+  test("hy-latin: digraph rules fire once per segment (Perl s/// without /g)") {
+    // "\u0578\u0582 \u0578\u0582" (ou ou): the \u0578\u0582->u digraph fires ONCE (first word);
+    // the second word then hits \b\u0578 -> vo (also once, and the first word's
+    // \u0578 is already consumed), and the leftover \u0582 maps globally to v \u2014
+    // exactly the Perl cascade: s/\x{578}\x{582}/u/; s/\b\x{578}/vo/;
+    // s/\x{582}/v/g  ==> "u vov".
+    assert(PostNormalizer.apply("\u0578\u0582 \u0578\u0582", "hy-latin") == "u vov")
+  }
 }

@@ -104,4 +104,31 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs > 0 && docs <= 400)
     assert(rows.filter(col("host") === "hot.example.com").count() > 0)
   }
+
+  test("runWithLineage: streaming batches write the batch job's lineage layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_lineage").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    Corpus.pages(spark, 200).write.mode("append").parquet(in)
+    StreamingExtract.runWithLineage(spark, in, out, ckpt).awaitTermination()
+
+    val ex1 = spark.read.parquet(s"$out/extracted")
+    assert(ex1.count() == 200)
+    val lin1 = spark.read.parquet(s"$out/lineage")
+    assert(lin1.agg(sum("doc_count")).first.getLong(0) == 200)
+    // lineage taxonomy counts must reconcile with the extracted rows
+    val okRows = ex1.filter(col("failure") === "ok").count()
+    assert(lin1.agg(sum("n_ok")).first.getLong(0) == okRows)
+
+    // second drain appends a NEW run_id with only the new docs
+    Corpus.pages(spark, 300).filter(not(col("url").isin(
+      Corpus.pages(spark, 200).select("url").collect().map(_.getString(0)).toSeq: _*)))
+      .write.mode("append").parquet(in)
+    StreamingExtract.runWithLineage(spark, in, out, ckpt).awaitTermination()
+
+    val lin2 = spark.read.parquet(s"$out/lineage")
+    assert(lin2.select("run_id").distinct().count() == 2)
+    assert(lin2.agg(sum("doc_count")).first.getLong(0) == 300)
+    assert(spark.read.parquet(s"$out/extracted").select("url").distinct().count() == 300)
+  }
 }
