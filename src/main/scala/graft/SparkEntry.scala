@@ -17,6 +17,11 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Oracle SQL over a materialized answer key (see
+    * [[graft.verify.AnswerKeys]]): DuckDB reads the key parquet directly. */
+  private def aux(name: String, cols: String, order: String): String =
+    s"SELECT $cols FROM read_parquet('${graft.verify.AnswerKeys.auxDir}/$name/*.parquet') ORDER BY $order"
+
   /** Flagship: full extraction pipeline over the synthetic web corpus. */
   def entry(spark: SparkSession): DataFrame =
     ExtractPipeline.extract(spark, Corpus.pages(spark, 500)).toDF()
@@ -402,6 +407,31 @@ object SparkEntry {
         | CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_hightax,
         | round(avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS avg_f_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // --- x-query oracles: DuckDB reads the single-node answer keys that
+    // --- graft.Verify materializes via graft.verify.AnswerKeys (absolute
+    // --- path — the driver runs DuckDB on the same machine). The compare
+    // --- is distributed Spark vs independent single-node recompute (and
+    // --- generation-time truth for x1–x4/x17).
+    "x1_extract" -> aux("x1_extract", "url, failure, n_blocks, n_chars, n_bytes_in", "url"),
+    "x2_extract_text" -> aux("x2_extract_text", "url, text", "url"),
+    "x3_spans" -> aux("x3_spans", "url, \"begin\", \"end\", kind", "url, \"begin\""),
+    "x4_taxonomy" -> aux("x4_taxonomy", "failure, n, chars", "failure"),
+    "x5_minhash_pairs" -> aux("x5_minhash_pairs", "id_a, id_b, jaccard", "id_a, id_b"),
+    "x6_simhash" -> aux("x6_simhash", "doc_id, simhash", "doc_id"),
+    "x7_langid" -> aux("x7_langid", "doc_id, lang_pred", "doc_id"),
+    "x8_quality" -> aux("x8_quality", "doc_id, quality", "doc_id"),
+    "x9_fingerprint" -> aux("x9_fingerprint", "doc_id, fp", "doc_id"),
+    "x10_lsh_ann" -> aux("x10_lsh_ann", "query_id, vec_id, sim, \"rank\"", "query_id, \"rank\""),
+    "x11_media_meta" -> aux("x11_media_meta", "media_type, n, bytes", "media_type"),
+    "x12_media_features" -> aux("x12_media_features", "media_id, media_type, e0", "media_id"),
+    "x13_video_frames" -> aux("x13_video_frames", "media_id, frame_idx, frame_size", "media_id, frame_idx"),
+    "x14_spell_repair" -> aux("x14_spell_repair", "doc_id, len_delta, head40", "doc_id"),
+    "x15_embedding_neardup" -> aux("x15_embedding_neardup", "id_a, id_b, sim", "id_a, id_b"),
+    "x16_ivf_ann" -> aux("x16_ivf_ann", "query_id, vec_id, sim, \"rank\"", "query_id, \"rank\""),
+    "x17_training_pipeline" -> aux("x17_training_pipeline",
+      "extracted_ok, qualified, exact_deduped, final_docs", "extracted_ok"),
+    "x18_simhash_pairs" -> aux("x18_simhash_pairs", "id_a, id_b, hamming", "id_a, id_b"),
+
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         | scored AS (

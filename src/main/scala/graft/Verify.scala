@@ -22,6 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // materialize the single-node answer keys the x-query oracles read
+    // back via read_parquet (graft.verify.AnswerKeys Scaladoc)
+    try graft.verify.AnswerKeys.writeAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] answer keys failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

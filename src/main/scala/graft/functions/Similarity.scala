@@ -144,6 +144,20 @@ object Similarity {
     centroids
   }
 
+  /** n nearest centroid indices by squared L2 (stable tie-break: lower
+    * index wins). Pure kernel shared by the distributed assignment UDF and
+    * the single-node oracle. */
+  def nearestCentroids(v: Seq[Float], cs: Array[Array[Double]], n: Int): Seq[Int] = {
+    val dists = cs.indices.map { ci =>
+      var d = 0.0
+      var j = 0
+      val c = cs(ci)
+      while (j < v.length && j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      (ci, d)
+    }
+    dists.sortBy(_._2).take(n).map(_._1)
+  }
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
     * k-means centroids partition the vector space; each vector lands in one
     * inverted list (cluster); a query probes only the `nProbe` nearest
@@ -156,17 +170,7 @@ object Similarity {
     val spark = vectors.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
 
-    def nearestLists(n: Int) = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      val dists = cs.indices.map { ci =>
-        var d = 0.0
-        var j = 0
-        val c = cs(ci)
-        while (j < v.length && j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (ci, d)
-      }
-      dists.sortBy(_._2).take(n).map(_._1)
-    }
+    def nearestLists(n: Int) = udf { (v: Seq[Float]) => nearestCentroids(v, bc.value, n) }
 
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb"))
       .withColumn("list", nearestLists(1)(col("v_emb"))(0)) // assign: 1 list

@@ -1,0 +1,415 @@
+package graft.verify
+
+import graft.core.Extractor
+import graft.fixtures.FixtureGen
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.{MediaGen, Multimodal}
+import graft.spark.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Single-node answer keys for the non-SQL-expressible `SparkEntry.queries`
+  * (x1–x18) — the driver-visible oracle the relational queries get from
+  * DuckDB (VERDICT r1 "What's missing" #1).
+  *
+  * Mechanism: [[graft.Verify]] materializes each key as parquet under
+  * [[auxDir]]; `SparkEntry.oracleSql` points DuckDB at those files via
+  * `read_parquet('<absolute path>')`, so the driver's compare becomes
+  * distributed-Spark-result vs independent-single-node-recompute (plus,
+  * for x1–x4/x17, GENERATION-TIME truth — the extraction keys come from
+  * FixtureGen's answer key, never from running the extractor).
+  *
+  * Everything here is driver-side plain Scala: hash maps and loops stand in
+  * for Spark's exchanges and joins, so a wrong shuffle/join/dedup in the
+  * distributed plan cannot reproduce itself in the key. Scalar kernels
+  * (simhash, minhash, LSH buckets, media codecs) are shared with the engine
+  * — they are pinned by their own unit specs; what this file re-derives
+  * independently is the DISTRIBUTED composition, plus exact mirrors of the
+  * Spark-native column arithmetic (quality score, cosine, round).
+  *
+  * Scale note: keys are test artifacts for the sf0.01/sf0.1 correctness
+  * gate — collect() here is deliberate and bounded; nothing in this file
+  * runs in the production path.
+  */
+object AnswerKeys {
+
+  /** Where Verify writes the keys; oracleSql embeds this ABSOLUTE path. */
+  val auxDir = "/root/repo/target/verify_aux"
+
+  // ---------- exact mirrors of Spark-native scalar arithmetic ----------
+
+  /** Mirror of Spark `round(double, 4)` (Round: HALF_UP over
+    * BigDecimal.valueOf). */
+  def round4(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Mirror of Spark `round(float, 4)` (widens to double first). */
+  def round4f(x: Float): Float =
+    if (x.isNaN || x.isInfinite) x
+    else new java.math.BigDecimal(java.lang.Double.toString(x.toDouble))
+      .setScale(4, java.math.RoundingMode.HALF_UP).floatValue
+
+  /** Mirror of Spark `trim` (UTF8String.trim strips SPACE only, not \n\t). */
+  def sparkTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  /** Mirror of Spark `length` on strings (code points, not UTF-16 units). */
+  def numChars(s: String): Int = s.codePointCount(0, s.length)
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Mirror of TextAnalysis.tokenCount. */
+  def tokenCount(s: String): Int = {
+    val t = sparkTrim(s)
+    if (t.isEmpty) 0 else ws.split(t, -1).length
+  }
+
+  /** Exact mirror of TextAnalysis.qualityScore's native expression tree
+    * (same operations, same order, same IEEE doubles). */
+  def quality(text: String): Double = {
+    val toksI = tokenCount(text)
+    val toks = toksI.toDouble
+    val lenScore = math.min(toks / 100.0, 1.0)
+    val mtl =
+      if (toksI == 0) 0.0
+      else numChars(ws.matcher(text).replaceAll("")).toDouble / toksI
+    val wordLenScore = if (mtl >= 3.0 && mtl <= 10.0) 1.0 else 0.3
+    val totalChars = numChars(text)
+    val punctRatio =
+      if (totalChars == 0) 0.0
+      else numChars(text.replaceAll("[^\\p{Punct}]", "")).toDouble / totalChars
+    val punctScore = if (punctRatio <= 0.2) 1.0 else 0.2
+    val trimmed = sparkTrim(text)
+    val stopRatio =
+      if (numChars(trimmed) == 0) 0.0
+      else {
+        val toks2 = ws.split(trimmed.toLowerCase, -1)
+        val hits = toks2.count(TextAnalysis.enStopwords.contains)
+        hits.toDouble / toks2.length
+      }
+    val stopScore = math.min(stopRatio * 5.0, 1.0)
+    round4(lenScore * 0.4 + wordLenScore * 0.2 + punctScore * 0.2 + stopScore * 0.2)
+  }
+
+  /** Exact mirror of Similarity.cosine's zip_with/aggregate HOF tree:
+    * per-element double widening, in-order left folds, guarded zero norms. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { val x = b(i).toDouble; nb += x * x; i += 1 }
+    val sna = math.sqrt(na)
+    val snb = math.sqrt(nb)
+    if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+  }
+
+  // ---------- single-node re-implementations of the distributed ops ------
+
+  /** MinHash LSH pairs, single-node: hash-map banding stands in for the
+    * band equi-join; same kernels, independent composition. */
+  def minhashPairsMirror[T](
+      docs: Seq[(T, String)], shingleK: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double)(implicit ord: Ordering[T]): Seq[(T, T, Double)] = {
+    val sigs = docs.map { case (id, t) =>
+      (id, t, Dedup.bandHashes(
+        Dedup.minhashKernel(t, shingleK, bands * rowsPerBand), bands, rowsPerBand))
+    }
+    val buckets = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Int]]()
+    sigs.zipWithIndex.foreach { case ((_, _, bh), idx) =>
+      var b = 0
+      while (b < bands) {
+        buckets.getOrElseUpdate((b, bh(b)), new mutable.ArrayBuffer[Int]) += idx
+        b += 1
+      }
+    }
+    val cand = new mutable.HashSet[(Int, Int)]()
+    buckets.valuesIterator.foreach { ids =>
+      var i = 0
+      while (i < ids.length) {
+        var j = i + 1
+        while (j < ids.length) {
+          val (a, b) = (ids(i), ids(j))
+          val (x, y) =
+            if (ord.lt(sigs(a)._1, sigs(b)._1)) (a, b)
+            else if (ord.lt(sigs(b)._1, sigs(a)._1)) (b, a)
+            else (a, a) // equal ids never pair (id_a < id_b)
+          if (x != y) cand += ((x, y))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    cand.toSeq
+      .map { case (i, j) =>
+        (sigs(i)._1, sigs(j)._1, Dedup.jaccardKernel(sigs(i)._2, sigs(j)._2, shingleK))
+      }
+      .filter(_._3 >= threshold) // threshold on the RAW value (as the plan does)
+      .map { case (a, b, j) => (a, b, round4(j)) } // round only the output
+      .sortBy(p => (p._1, p._2))
+  }
+
+  /** LSH bucket candidate pairs/top-k, single-node (mirror of lshTopK /
+    * embeddingNearDupPairs bucketing). */
+  private def lshBuckets(
+      vecs: Seq[(Long, Array[Float])], nBits: Int, tables: Int): Map[(Int, Int), Seq[Long]] = {
+    val m = new mutable.HashMap[(Int, Int), mutable.ArrayBuffer[Long]]()
+    vecs.foreach { case (id, v) =>
+      var t = 0
+      while (t < tables) {
+        val bucket = Similarity.lshBucketKernel(v.toSeq, nBits, 0x5EED0000L + t)
+        m.getOrElseUpdate((t, bucket), new mutable.ArrayBuffer[Long]) += id
+        t += 1
+      }
+    }
+    m.view.mapValues(_.toSeq).toMap
+  }
+
+  /** Rank candidates per query: sim desc, vec_id asc, take k (mirror of the
+    * row_number window). */
+  private def topK(
+      cands: Seq[(Long, Long, Double)], k: Int): Seq[(Long, Long, Double, Int)] =
+    cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      cs.sortBy(c => (-c._3, c._2)).take(k).zipWithIndex
+        .map { case ((_, v, s), r) => (q, v, round4(s), r + 1) }
+    }.sortBy(r => (r._1, r._4))
+
+  // ---------- key rows (public case classes: Spark encoders) -------------
+
+  final case class K1(url: String, failure: String, n_blocks: Int, n_chars: Int, n_bytes_in: Long)
+  final case class K2(url: String, text: String)
+  final case class K3(url: String, begin: Int, end: Int, kind: String)
+  final case class K4(failure: String, n: Long, chars: Long)
+  final case class KPair(id_a: Long, id_b: Long, jaccard: Double)
+  final case class K6(doc_id: Long, simhash: Long)
+  final case class K7(doc_id: Long, lang_pred: String)
+  final case class K8(doc_id: Long, quality: Double)
+  final case class K9(doc_id: Long, fp: Long)
+  final case class KAnn(query_id: Long, vec_id: Long, sim: Double, rank: Int)
+  final case class K11(media_type: String, n: Long, bytes: Long)
+  final case class K12(media_id: Long, media_type: String, e0: Float)
+  final case class K13(media_id: Long, frame_idx: Int, frame_size: Int)
+  final case class K14(doc_id: Long, len_delta: Int, head40: String)
+  final case class K15(id_a: Long, id_b: Long, sim: Double)
+  final case class K17(extracted_ok: Long, qualified: Long, exact_deduped: Long, final_docs: Long)
+  final case class K18(id_a: Long, id_b: Long, hamming: Int)
+
+  // ---------- inputs ------------------------------------------------------
+
+  private def docs(spark: SparkSession, d: String): Array[(Long, String)] =
+    spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+  private def embs(spark: SparkSession, d: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$d/embeddings.parquet").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  private def fixtures(n: Long): IndexedSeq[FixtureGen.Fixture] =
+    (0L until n).map(i => FixtureGen.fixtureAt(42L, i))
+
+  // ---------- the keys ----------------------------------------------------
+
+  def writeAll(spark: SparkSession, d: String): Unit = {
+    import spark.implicits._
+    val n = Corpus.docsForSf(d)
+
+    def write(name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+
+    // x1–x4: GENERATION-TIME truth (FixtureGen's answer key, the byte-
+    // identity contract — never computed by running the extractor)
+    val fx = fixtures(n)
+    write("x1_extract", fx.map { f =>
+      K1(f.url, f.expected.failure,
+        if (f.expected.failure == "ok") f.expected.spans.length else 0,
+        f.expected.text.length, f.html.length.toLong)
+    }.sortBy(_.url).toDS().toDF())
+
+    val fx2k = fixtures(math.min(n, 2000L))
+    write("x2_extract_text", fx2k.filter(_.expected.failure == "ok")
+      .map(f => K2(f.url, f.expected.text)).sortBy(_.url).toDS().toDF())
+
+    write("x3_spans", fx2k.flatMap(f =>
+      f.expected.spans.map(s => K3(f.url, s.begin, s.end, s.kind)))
+      .sortBy(k => (k.url, k.begin)).toDS().toDF())
+
+    write("x4_taxonomy", fx.groupBy(_.expected.failure).map { case (fail, fs) =>
+      K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
+    }.toSeq.sortBy(_.failure).toDS().toDF())
+
+    // x5/x18: near-dup pairs over documents — single-node banding
+    val dd = docs(spark, d)
+    write("x5_minhash_pairs",
+      minhashPairsMirror(dd.toSeq, shingleK = 5, bands = 16, rowsPerBand = 4,
+        threshold = 0.35)
+        .map { case (a, b, j) => KPair(a, b, j) }.toDS().toDF())
+
+    write("x18_simhash_pairs", {
+      val sigs = dd.map { case (id, t) => (id, Dedup.simhashKernel(t)) }
+      val byChunk = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Int]]()
+      sigs.zipWithIndex.foreach { case ((_, sig), idx) =>
+        var c = 0
+        while (c < 4) {
+          byChunk.getOrElseUpdate((c, (sig >> (c * 16)) & 0xFFFFL),
+            new mutable.ArrayBuffer[Int]) += idx
+          c += 1
+        }
+      }
+      val cand = new mutable.HashSet[(Int, Int)]()
+      byChunk.valuesIterator.foreach { ids =>
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            val a = ids(i); val b = ids(j)
+            if (sigs(a)._1 < sigs(b)._1) cand += ((a, b))
+            else if (sigs(b)._1 < sigs(a)._1) cand += ((b, a))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      cand.toSeq.map { case (i, j) =>
+        K18(sigs(i)._1, sigs(j)._1,
+          java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2))
+      }.filter(_.hamming <= 12).sortBy(k => (k.id_a, k.id_b)).toDS().toDF()
+    })
+
+    // x6–x9: scalar kernels / native-expression mirrors over documents
+    write("x6_simhash", dd.map { case (id, t) => K6(id, Dedup.simhashKernel(t)) }.toSeq.toDS().toDF())
+    write("x7_langid", dd.map { case (id, t) => K7(id, TextAnalysis.langIdKernel(t)) }.toSeq.toDS().toDF())
+    write("x8_quality", dd.map { case (id, t) => K8(id, quality(t)) }.toSeq.toDS().toDF())
+    write("x9_fingerprint", dd.map { case (id, t) => K9(id, TextAnalysis.fingerprintKernel(t)) }.toSeq.toDS().toDF())
+
+    // x14: bounded dictionary + SpellRepair, mirrored end to end
+    write("x14_spell_repair", {
+      val counts = new mutable.HashMap[String, Long]()
+      dd.foreach { case (_, t) =>
+        ws.split(t.toLowerCase, -1).foreach(w =>
+          counts.update(w, counts.getOrElse(w, 0L) + 1L))
+      }
+      val dict = counts.toSeq.filter(_._2 >= 10)
+        .sortBy { case (w, c) => (-c, w) }.take(100000).map(_._1).toSet
+      val repairer = new graft.core.assemble.SpellRepair(dict)
+      dd.map { case (id, t) =>
+        val r = repairer.correctText(t)
+        K14(id, r.length - t.length, r.substring(0, math.min(40, r.length)))
+      }.toSeq.toDS().toDF()
+    })
+
+    // x10/x15/x16: ANN candidate generation mirrored with hash maps
+    val ee = embs(spark, d)
+    val queries = ee.filter(_._1 < 5)
+    val byId = ee.toMap
+
+    write("x10_lsh_ann", {
+      val vb = lshBuckets(ee.toSeq, nBits = 8, tables = 4)
+      val qb = lshBuckets(queries.toSeq, nBits = 8, tables = 4)
+      val cand = new mutable.HashSet[(Long, Long)]()
+      qb.foreach { case (key, qs) =>
+        vb.getOrElse(key, Nil).foreach(v =>
+          qs.foreach(q => if (v != q) cand += ((q, v))))
+      }
+      topK(cand.toSeq.map { case (q, v) => (q, v, cosine(byId(v), byId(q))) }, 3)
+        .map { case (q, v, s, r) => KAnn(q, v, s, r) }.toDS().toDF()
+    })
+
+    write("x15_embedding_neardup", {
+      val b = lshBuckets(ee.toSeq, nBits = 12, tables = 4)
+      val cand = new mutable.HashSet[(Long, Long)]()
+      b.valuesIterator.foreach { ids =>
+        val arr = ids.toArray
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val (a, bb) = (arr(i) min arr(j), arr(i) max arr(j))
+            if (a != bb) cand += ((a, bb))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      cand.toSeq.map { case (a, b2) => (a, b2, cosine(byId(a), byId(b2))) }
+        .filter(_._3 >= 0.30) // raw-sim threshold, round only the output
+        .map { case (a, b2, s) => K15(a, b2, round4(s)) }
+        .sortBy(k => (k.id_a, k.id_b)).toDS().toDF()
+    })
+
+    write("x16_ivf_ann", {
+      // the quantizer is the shared MODEL (trained once, deterministically);
+      // assignment/probing/scoring are mirrored single-node
+      val cs = Similarity.trainIvfCentroids(
+        spark.read.parquet(s"$d/embeddings.parquet"), nLists = 8)
+      val assign = ee.map { case (id, v) =>
+        (id, Similarity.nearestCentroids(v.toSeq, cs, 1).head)
+      }.toMap
+      val cand = new mutable.HashSet[(Long, Long)]()
+      queries.foreach { case (q, qv) =>
+        val probes = Similarity.nearestCentroids(qv.toSeq, cs, 3).toSet
+        ee.foreach { case (v, _) =>
+          if (v != q && probes.contains(assign(v))) cand += ((q, v))
+        }
+      }
+      topK(cand.toSeq.map { case (q, v) => (q, v, cosine(byId(v), byId(q))) }, 3)
+        .map { case (q, v, s, r) => KAnn(q, v, s, r) }.toDS().toDF()
+    })
+
+    // x11–x13: multimodal plumbing over the deterministic MediaGen table
+    val media = (0L until math.min(n, 2000L)).map(i => MediaGen.mediaAt(42L, i))
+    write("x11_media_meta", media
+      .map(m => Multimodal.decodeMetaKernel(m.payload))
+      .groupBy(_.media_type).map { case (mt, ms) =>
+        K11(mt, ms.size.toLong, ms.map(_.n_bytes.toLong).sum)
+      }.toSeq.sortBy(_.media_type).toDS().toDF())
+
+    write("x12_media_features",
+      (0L until math.min(n, 1000L)).map(i => MediaGen.mediaAt(42L, i))
+        .map(m => K12(m.media_id, m.media_type,
+          round4f(Multimodal.embedKernel(m.payload, 16)(0))))
+        .sortBy(_.media_id).toDS().toDF())
+
+    write("x13_video_frames", media.filter(_.media_type == "video").flatMap { m =>
+      val meta = Multimodal.decodeMetaKernel(m.payload)
+      val frameBytes = meta.width * meta.height
+      (0 until meta.n_frames by 2).map { f =>
+        val start = 16 + f * frameBytes
+        val end = math.min(start + frameBytes, m.payload.length)
+        val lo = math.min(start, m.payload.length)
+        K13(m.media_id, f, math.max(end, lo) - lo)
+      }
+    }.sortBy(k => (k.media_id, k.frame_idx)).toDS().toDF())
+
+    // x17: the whole funnel re-derived single-node (extraction kernel on
+    // generated pages + mirrored quality/dedup/near-dup composition)
+    write("x17_training_pipeline", {
+      val n17 = math.min(n, 3000L)
+      val extractor = new Extractor()
+      val extracted = (0L until n17).map(i => FixtureGen.fixtureAt(42L, i))
+        .map(f => (f.url, extractor.extract(f.url, f.html, f.lang)))
+        .filter(_._2.failure == "ok")
+        .map { case (url, r) => (url, r.text) }
+      val qualified = extracted.filter { case (_, t) => quality(t) >= 0.5 }
+      val exactDeduped = qualified.groupBy(_._2).map { case (_, rows) =>
+        rows.minBy(_._1)
+      }.toSeq
+      val dropped = minhashPairsMirror(exactDeduped, shingleK = 5, bands = 16,
+        rowsPerBand = 4, threshold = 0.8).map(_._2).toSet
+      val finalDocs = exactDeduped.filterNot { case (url, _) => dropped(url) }
+      Seq(K17(extracted.size.toLong, qualified.size.toLong,
+        exactDeduped.size.toLong, finalDocs.size.toLong)).toDS().toDF()
+    })
+  }
+}
