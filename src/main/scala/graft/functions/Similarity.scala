@@ -33,7 +33,8 @@ object Similarity {
   def bruteForceTopK(
       vectors: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb"))
+    val v = Dedup.parallelize(
+      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("v_emb"), col("q_emb")))
@@ -76,7 +77,7 @@ object Similarity {
       df.select(col(idCol).as(id), col(vecCol).as(emb))
         .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
         .withColumn("bucket", bucketUdf(col(emb), col("table")))
-    val v = withBuckets(vectors, "vec_id", "v_emb")
+    val v = withBuckets(Dedup.parallelize(vectors), "vec_id", "v_emb")
     val q = withBuckets(queries, "query_id", "q_emb")
     val cand = v.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -172,7 +173,8 @@ object Similarity {
 
     def nearestLists(n: Int) = udf { (v: Seq[Float]) => nearestCentroids(v, bc.value, n) }
 
-    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb"))
+    val v = Dedup.parallelize(
+      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb")))
       .withColumn("list", nearestLists(1)(col("v_emb"))(0)) // assign: 1 list
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
       .withColumn("list", explode(nearestLists(nProbe)(col("q_emb")))) // probe: nProbe lists
@@ -214,7 +216,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketUdf = udf((v: Seq[Float], t: Int) => lshBucketKernel(v, nBits, 0x5EED0000L + t))
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("emb"))
-    val b = base
+    val b = Dedup.parallelize(base)
       .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("bucket", bucketUdf(col("emb"), col("table")))
       .select("table", "bucket", "id")
