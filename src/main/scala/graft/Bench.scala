@@ -93,8 +93,16 @@ object Bench {
     val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "600000").toLong
     val warmupDocs = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DOCS", "30000").toLong
 
-    // 1) per-query timings at the requested parallelism
+    // 1) per-query timings at the requested parallelism. A warm-up lap at
+    // the smallest sf first: without it, JVM/codegen/parquet-reader
+    // warm-up is charged entirely to the alphabetically-first query
+    // (same self-warming discipline as the scaling children).
     val spark = session(cpus)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
