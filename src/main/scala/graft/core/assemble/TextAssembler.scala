@@ -110,7 +110,17 @@ object TextAssembler {
     * processing is required. */
   def bidiVisual(line: String, rtlBase: Boolean): String = {
     if (line.isEmpty) return line
-    if (!rtlBase && !java.text.Bidi.requiresBidi(line.toCharArray, 0, line.length)) return line
+    if (!rtlBase) {
+      // fast path: every RTL-directional code unit (Hebrew/Arabic blocks,
+      // RLM/RLE/RLO marks, presentation forms) is >= U+0590, so a line of
+      // smaller chars can never require BiDi — skips the toCharArray copy
+      // + directionality scan for the (dominant) latin case
+      var i = 0
+      val nn = line.length
+      while (i < nn && line.charAt(i) < '\u0590') i += 1
+      if (i == nn) return line
+      if (!java.text.Bidi.requiresBidi(line.toCharArray, 0, line.length)) return line
+    }
     val base =
       if (rtlBase) java.text.Bidi.DIRECTION_DEFAULT_RIGHT_TO_LEFT
       else java.text.Bidi.DIRECTION_DEFAULT_LEFT_TO_RIGHT

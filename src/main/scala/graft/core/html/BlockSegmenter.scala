@@ -64,6 +64,7 @@ object BlockSegmenter {
     private val stack = new ArrayBuffer[OpenElem](16)
     private val sb = new java.lang.StringBuilder(256)
     private val linkBits = new java.util.BitSet(256)
+    private var blockHasLink = false // fast path: skip BitSet when no <a> text
     private var pendingBr = 0
 
     // maintained depth counters — O(1) per token (hottest loop in kernel)
@@ -117,33 +118,42 @@ object BlockSegmenter {
 
     private def flush(): Unit = {
       if (sb.length > 0) {
-        // any non-whitespace content?
-        var hasContent = false
-        var ci = 0
-        val len = sb.length
-        while (!hasContent && ci < len) {
-          if (!Character.isWhitespace(sb.charAt(ci))) hasContent = true
-          ci += 1
-        }
-        if (hasContent) {
-          val raw = sb.toString
-          // word runs (maximal non-ws spans; a word is a link word if any
-          // contributing char was inside an <a>)
-          val wordRuns = ArrayBuffer.empty[Run]
-          var i = 0
-          val n = raw.length
-          while (i < n) {
-            while (i < n && raw.charAt(i).isWhitespace) i += 1
-            if (i < n) {
-              val b = i
-              var link = false
-              while (i < n && !raw.charAt(i).isWhitespace) { if (linkBits.get(i)) link = true; i += 1 }
-              if (wordRuns.nonEmpty && wordRuns.last.isLink == link) {
-                val last = wordRuns.last
-                wordRuns(wordRuns.length - 1) = Run(last.begin, i, link, last.words + 1)
-              } else wordRuns += Run(b, i, link, 1)
+        // single pass over the buffer: word runs (maximal same-link-flag
+        // word sequences) built with primitive locals — one Run allocation
+        // per run boundary, not per word, and the BitSet is consulted only
+        // when the block actually saw anchor text. An all-whitespace
+        // buffer yields no runs and skips emission (the old separate
+        // has-content pre-scan fused away).
+        val wordRuns = ArrayBuffer.empty[Run]
+        val n = sb.length
+        var i = 0
+        var runBegin = -1
+        var runEnd = 0
+        var runWords = 0
+        var runLink = false
+        while (i < n) {
+          while (i < n && Character.isWhitespace(sb.charAt(i))) i += 1
+          if (i < n) {
+            val b = i
+            var link = false
+            if (blockHasLink) {
+              while (i < n && !Character.isWhitespace(sb.charAt(i))) {
+                if (linkBits.get(i)) link = true
+                i += 1
+              }
+            } else {
+              while (i < n && !Character.isWhitespace(sb.charAt(i))) i += 1
+            }
+            if (runBegin >= 0 && runLink == link) { runWords += 1; runEnd = i }
+            else {
+              if (runBegin >= 0) wordRuns += Run(runBegin, runEnd, runLink, runWords)
+              runBegin = b; runEnd = i; runWords = 1; runLink = link
             }
           }
+        }
+        if (runBegin >= 0) wordRuns += Run(runBegin, runEnd, runLink, runWords)
+        if (wordRuns.nonEmpty) {
+          val raw = sb.toString
           // fission: big link runs inside a mixed block become own blocks
           // (wide-glyph split analog, splitWideGlyphs main/segment.c:1224-1386)
           val bigLinkRuns = wordRuns.count(r => r.isLink && r.words >= fissionMinLinkRun)
@@ -167,7 +177,7 @@ object BlockSegmenter {
           }
         }
         sb.setLength(0)
-        linkBits.clear()
+        if (blockHasLink) { linkBits.clear(); blockHasLink = false }
       }
       pendingBr = 0
     }
@@ -175,7 +185,7 @@ object BlockSegmenter {
     private def append(piece: String, isLink: Boolean): Unit = {
       val b = sb.length
       sb.append(piece)
-      if (isLink && sb.length > b) linkBits.set(b, sb.length)
+      if (isLink && sb.length > b) { linkBits.set(b, sb.length); blockHasLink = true }
     }
 
     override def startTag(name: String, id: String, cls: String, selfClosing: Boolean): Unit = {
@@ -218,7 +228,7 @@ object BlockSegmenter {
       if (hasContent) {
         val b = sb.length
         HtmlTokenizer.decodeEntitiesInto(sb, html, start, end)
-        if (anchorDepthC > 0 && sb.length > b) linkBits.set(b, sb.length)
+        if (anchorDepthC > 0 && sb.length > b) { linkBits.set(b, sb.length); blockHasLink = true }
         pendingBr = 0
       } else if (sb.length > 0) {
         // inter-word whitespace still separates words

@@ -1,38 +1,58 @@
 package graft.tools
 
-import graft.core._
+import graft.core.{Extractor, ExtractorConfig}
 import graft.core.html.{BlockSegmenter, HtmlTokenizer}
 import graft.fixtures.FixtureGen
 
-/** Dev tool: per-stage kernel cost on pregenerated HTML payloads
-  * (decode / tokenize / segment / classify / assemble), single thread. */
+/** Dev tool: single-thread kernel stage breakdown over N fixtures. */
 object KernelProfile {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 20000
+    val fx = (0 until n).map(i => FixtureGen.fixtureAt(42L, i.toLong)).toArray
+    val html = fx.filter(f => Extractor.looksLikeHtml(f.html))
+    val decoded = html.map(f => Extractor.decode(f.html))
     val cfg = ExtractorConfig.default
-    // pregenerate HTML-only payloads
-    val payloads = (0L until 200000L).iterator
-      .map(i => FixtureGen.fixtureAt(42, i))
-      .filter(f => f.html.length > 0 && !Extractor.isPdf(f.html) && Extractor.looksLikeHtml(f.html))
-      .take(n).map(f => (f.html, f.lang)).toArray
-    println(s"payloads: ${payloads.length}, avg bytes: ${payloads.map(_._1.length).sum / payloads.length}")
+    val ex = new Extractor(cfg)
 
-    def time[A](label: String, reps: Int)(body: => A): A = {
-      var out: A = body // warm
-      val t0 = System.nanoTime()
-      var r = 0
-      while (r < reps) { out = body; r += 1 }
-      val secs = (System.nanoTime() - t0) / 1e9 / reps
-      println(f"$label%-12s ${payloads.length / secs}%9.0f docs/s  (${secs * 1e9 / payloads.length}%7.0f ns/doc)")
-      out
+    def timed(label: String, reps: Int = 3)(body: => Long): Unit = {
+      body // warm
+      var best = Long.MaxValue
+      var out = 0L
+      (0 until reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        out = body
+        best = math.min(best, System.nanoTime() - t0)
+      }
+      println(f"$label%-22s ${best / 1e6}%8.1f ms  (${best / 1e3 / html.length}%6.1f us/doc)  [$out]")
     }
 
-    val decoded = time("decode", 3) { payloads.map(p => Extractor.decode(p._1)) }
-    val tokens = time("tokenize", 3) { decoded.map(d => HtmlTokenizer.tokenize(d, cfg.maxTokens)) }
-    val blocks = time("segment", 3) { tokens.map(t => BlockSegmenter.segment(t, cfg.fissionMinLinkRun, cfg.fissionMinTextWords)) }
-    time("tok+seg-direct", 3) { decoded.map(d => BlockSegmenter.segmentDirect(d, cfg.fissionMinLinkRun, cfg.fissionMinTextWords, cfg.maxTokens)) }
-    val kept = time("classify", 3) { blocks.map(b => classify.HeuristicClassifier.classify(b, cfg)) }
-    time("assemble", 3) { kept.zip(payloads).map { case (k, (_, lang)) => assemble.TextAssembler.assembleBlocks(k, cfg, lang) } }
-    time("end-to-end", 3) { payloads.map(p => Extractor.default.extract("u", p._1, p._2)) }
+    println(s"fixtures=$n htmlDocs=${html.length} avgBytes=${html.map(_.html.length).sum / html.length}")
+    timed("decode") {
+      var acc = 0L; html.foreach(f => acc += Extractor.decode(f.html).length); acc
+    }
+    timed("tokenize-only") {
+      var acc = 0L
+      decoded.foreach { d =>
+        HtmlTokenizer.scan(d, cfg.maxTokens, new HtmlTokenizer.TokenSink {
+          override def startTag(name: String, id: String, cls: String, sc: Boolean): Unit = { acc += 1 }
+          override def endTag(name: String): Unit = { acc += 1 }
+          override def text(h: String, s: Int, e: Int): Unit = { acc += e - s }
+        })
+      }
+      acc
+    }
+    timed("tokenize+segment") {
+      var acc = 0L
+      decoded.foreach(d => acc += BlockSegmenter.segmentDirect(d, cfg.fissionMinLinkRun, cfg.fissionMinTextWords, cfg.maxTokens).length)
+      acc
+    }
+    timed("full kernel") {
+      var acc = 0L; html.foreach(f => acc += ex.extract(f.url, f.html, f.lang).n_chars); acc
+    }
+    val pdfs = fx.filter(f => Extractor.isPdf(f.html))
+    println(s"pdfDocs=${pdfs.length}")
+    timed("pdf kernel") {
+      var acc = 0L; pdfs.foreach(f => acc += ex.extract(f.url, f.html, f.lang).n_chars); acc
+    }
   }
 }
