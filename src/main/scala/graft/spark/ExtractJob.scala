@@ -34,11 +34,18 @@ object ExtractJob {
 
   final case class RunResult(runId: Long, docs: Long, newDocs: Long)
 
+  /** Write fanout tuned to target file sizes (the Iceberg
+    * `write.target-file-size-bytes` analog the north-star plan calls for):
+    * without a cap, one task writing a salted hot-host bucket can emit a
+    * multi-GB file that downstream scans cannot split efficiently; with
+    * rows-per-file capped, every output file lands near the target size.
+    * 0 disables (small test runs don't need fanout). */
   def run(
       spark: SparkSession,
       pages: DataFrame,
       outDir: String,
-      cfg: ExtractPipeline.PipelineConfig = ExtractPipeline.PipelineConfig()): RunResult = {
+      cfg: ExtractPipeline.PipelineConfig = ExtractPipeline.PipelineConfig(),
+      maxRecordsPerFile: Long = 0L): RunResult = {
 
     val store = new ParquetCheckpointStore(spark, outDir)
     val runId = store.nextRunId()
@@ -61,7 +68,9 @@ object ExtractJob {
         sum(when(col("failure") =!= "ok", 1L).otherwise(0L)).as("failures"))
 
     val extractedPath = s"$outDir/extracted/run_id=$runId"
-    extracted.write.mode(SaveMode.Overwrite).parquet(extractedPath)
+    val writer = extracted.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(extractedPath)
     val observed = obs.get
 
     // lineage from the WRITTEN files (column-pruned re-read, never re-extracts)
