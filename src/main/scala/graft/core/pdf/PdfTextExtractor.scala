@@ -167,6 +167,8 @@ object PdfTextExtractor {
     // operand stack: numbers and strings in order
     val nums = new ArrayBuffer[Double](6)
     var pendingStrings = new ArrayBuffer[String](2)
+    // TJ array elements: Right(string) | Left(kerning adjustment)
+    val pendingArray = new ArrayBuffer[Either[Double, String]](4)
 
     def emit(text: String): Unit = {
       if (text.nonEmpty) {
@@ -186,17 +188,26 @@ object PdfTextExtractor {
         pendingStrings += str
         i = after
       } else if (c == '[') {
-        // TJ array: strings with kerning numbers; concat strings, ignore kerning
-        val sb = new java.lang.StringBuilder
+        // TJ array: strings interleaved with kerning numbers. A number k
+        // displaces the NEXT string by −k/1000 × fontSize (PDF 32000-1
+        // §9.4.3) — real-world PDFs encode word gaps exactly this way, so
+        // kerning must reach the x advance for the T1 spacing rule.
+        pendingArray.clear()
         i += 1
         while (i < n && cs.charAt(i) != ']') {
-          if (cs.charAt(i) == '(') {
+          val ch = cs.charAt(i)
+          if (ch == '(') {
             val (str, after) = parseLiteralString(cs, i)
-            sb.append(str); i = after
+            pendingArray += Right(str); i = after
+          } else if (ch == '-' || ch == '+' || ch == '.' || ch.isDigit) {
+            val st = i
+            i += 1
+            while (i < n && (cs.charAt(i).isDigit || cs.charAt(i) == '.')) i += 1
+            try pendingArray += Left(cs.substring(st, i).toDouble)
+            catch { case _: NumberFormatException => }
           } else i += 1
         }
         if (i < n) i += 1 // skip ']'
-        pendingStrings += sb.toString
       } else if (c == '<' && i + 1 < n && cs.charAt(i + 1) != '<') {
         // hex string — decode as latin-1 bytes
         val e = cs.indexOf('>', i + 1)
@@ -248,7 +259,13 @@ object PdfTextExtractor {
           case "Tj" =>
             if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
           case "TJ" =>
-            if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
+            if (inText) {
+              if (pendingArray.nonEmpty) pendingArray.foreach {
+                case Right(s) => emit(s)
+                case Left(adj) => tx -= adj / 1000.0 * fontSize
+              }
+              else if (pendingStrings.nonEmpty) emit(pendingStrings.last)
+            }
           case "'" =>
             lineY -= (if (leading != 0.0) leading else fontSize * 1.2)
             tx = lineX; ty = lineY
@@ -259,7 +276,7 @@ object PdfTextExtractor {
             if (inText && pendingStrings.nonEmpty) emit(pendingStrings.last)
           case _ => // unknown operator: clear operands below
         }
-        if (op.nonEmpty) { nums.clear(); pendingStrings = new ArrayBuffer[String](2) }
+        if (op.nonEmpty) { nums.clear(); pendingStrings = new ArrayBuffer[String](2); pendingArray.clear() }
         if (i == start) i += 1 // safety: never stall
       }
     }

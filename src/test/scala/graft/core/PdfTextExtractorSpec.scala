@@ -75,7 +75,16 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     val s = "BT /F1 12 Tf 72 720 Td (one) Tj 0 -20 TD (two) Tj T* (three) Tj ET\n"
     assert(text(s) == "one\ntwo\nthree\n")
     val tj = "BT /F1 12 Tf 72 720 Td [(con) -20 (cat)] TJ ET\n"
-    assert(text(tj) == "concat\n")
+    assert(text(tj) == "concat\n") // -20/1000*12 = 0.24pt — below the space gate
+  }
+
+  test("TJ kerning displaces the x advance: word gaps encoded as kerning get T1 spacing") {
+    // -2000/1000*12 = 24pt gap -> floor(24/6)-1 = 3 spaces
+    assert(text("BT /F1 12 Tf 72 720 Td [(alpha) -2000 (beta)] TJ ET\n") == "alpha   beta\n")
+    // -600/1000*12 = 7.2pt -> max(1, floor(7.2/6)-1) = 1 space
+    assert(text("BT /F1 12 Tf 72 720 Td [(alpha) -600 (beta)] TJ ET\n") == "alpha beta\n")
+    // positive kerning tightens (moves left): still joined
+    assert(text("BT /F1 12 Tf 72 720 Td [(al) 500 (pha)] TJ ET\n") == "alpha\n")
   }
 
   test("spans: one per line, offsets exact") {
