@@ -223,8 +223,16 @@ object FixtureGen {
       "<style>.a { color: red; }</style></head><body>" + body + "</body></html>"
     val (text, spans) = TextAssembler.assemble(truth.toVector)
     val failure = if (text.isEmpty) Failure.Empty else Failure.Ok
-    Fixture(url, ts, doc.getBytes(java.nio.charset.StandardCharsets.UTF_8), null, lang,
-      Expected(text, spans, failure))
+    // serialization variant (tail draw — perturbs no content RNG): ~1/6 of
+    // encodable non-RTL pages ship as declared windows-1252, putting the
+    // cp1252 decode path on the corpus-wide byte-identity gate. Truth is
+    // unchanged: decode(encode(doc)) is the identity for encodable docs.
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val bytes =
+      if (rng.nextInt(6) == 0 && !rtl && cp1252.newEncoder().canEncode(doc))
+        doc.replace("charset=\"utf-8\"", "charset=\"windows-1252\"").getBytes(cp1252)
+      else doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Fixture(url, ts, bytes, null, lang, Expected(text, spans, failure))
   }
 
   /** HTML page with ONLY chrome — expected `empty`. */
