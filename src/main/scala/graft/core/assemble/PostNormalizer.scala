@@ -54,6 +54,11 @@ object PostNormalizer {
       Rule("(?U)\\b\u0565", "j\u025B", global = false),
       Rule("(?U)\\b\u0578", "vo", global = false),
       Rule("\u0561\u0575", "\u0251j", global = false),
+      // NOTE: the 4th alternative (3-char) is dead \u2014 its 2-char prefix
+      // appears earlier and Perl/Java alternation is leftmost-first. The
+      // reference has the same ordering (armenian.transcribe.pl:26), so
+      // "\u0565\u0561\u0575" yields "j\u0251" + leftover "\u0575"\u2192"j";
+      // we reproduce that behavior verbatim (pinned in PostNormalizerSpec).
       Rule("\u0575\u0561|\u056B\u0561|\u0565\u0561|\u0565\u0561\u0575", "j\u0251", global = false),
       Rule("\u0565\u0575|\u0567\u0575", "\u025Bj", global = false),
       Rule("\u0578\u0582\u0575|\u0578\u0575", "uj", global = false),

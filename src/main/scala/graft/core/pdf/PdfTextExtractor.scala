@@ -112,9 +112,17 @@ object PdfTextExtractor {
     runs.toVector
   }
 
-  /** Last `key <int>` in a dict segment, tolerant of whitespace. */
+  /** Last `key <int>` in a dict segment, tolerant of whitespace. Requires
+    * a non-name character after the key (so `/Length` never matches inside
+    * `/Length1`/`/Length2` font-stream keys) and rejects indirect
+    * references (`/Length 10 0 R` — the value lives in another object we
+    * don't resolve; returning 10 would mis-bound the stream). */
   private def dictInt(dict: String, key: String): Option[Int] = {
-    val i = dict.lastIndexOf(key)
+    var i = dict.lastIndexOf(key)
+    while (i >= 0 && i + key.length < dict.length && {
+      val c = dict.charAt(i + key.length)
+      Character.isLetterOrDigit(c) // e.g. /Length1 — not our key
+    }) i = dict.lastIndexOf(key, i - 1)
     if (i < 0) None
     else {
       var j = i + key.length
@@ -123,8 +131,20 @@ object PdfTextExtractor {
       if (j < dict.length && (dict.charAt(j) == '-' || dict.charAt(j) == '+')) j += 1
       while (j < dict.length && dict.charAt(j).isDigit) j += 1
       if (j == st) None
-      else try Some(dict.substring(st, j).toInt)
-      catch { case _: NumberFormatException => None }
+      else {
+        // indirect reference? `<int> <gen> R`
+        var k = j
+        while (k < dict.length && dict.charAt(k).isWhitespace) k += 1
+        val genStart = k
+        while (k < dict.length && dict.charAt(k).isDigit) k += 1
+        if (k > genStart) {
+          var m = k
+          while (m < dict.length && dict.charAt(m).isWhitespace) m += 1
+          if (m < dict.length && dict.charAt(m) == 'R') return None
+        }
+        try Some(dict.substring(st, j).toInt)
+        catch { case _: NumberFormatException => None }
+      }
     }
   }
 
@@ -199,6 +219,18 @@ object PdfTextExtractor {
           if (ch == '(') {
             val (str, after) = parseLiteralString(cs, i)
             pendingArray += Right(str); i = after
+          } else if (ch == '<') {
+            // hex string element — decode it; its digits must NOT fall
+            // through to the number branch (they would be read as huge
+            // kerning values and wreck the x positions)
+            val e = cs.indexOf('>', i + 1)
+            val hex = if (e < 0) cs.substring(i + 1) else cs.substring(i + 1, e)
+            val clean = hex.filter(h => Character.digit(h, 16) >= 0)
+            val hb = new java.lang.StringBuilder
+            var k = 0
+            while (k + 1 < clean.length) { hb.append(Integer.parseInt(clean.substring(k, k + 2), 16).toChar); k += 2 }
+            pendingArray += Right(hb.toString)
+            i = if (e < 0) n else e + 1
           } else if (ch == '-' || ch == '+' || ch == '.' || ch.isDigit) {
             val st = i
             i += 1

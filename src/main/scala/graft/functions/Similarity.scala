@@ -98,22 +98,23 @@ object Similarity {
     * main/kd.c:645-724).
     *
     * Determinism: the training set is the `trainSample` rows with the
-    * smallest xxhash64(id) — a content-stable pseudo-random subset computed
-    * as a distributed top-k (one scan, a bounded heap per partition; never
-    * `limit` without order, which depends on partition layout, and never a
-    * full sort). Lloyd iterations then run on the driver over the id-sorted
-    * sample with evenly-spaced seeding, so centroids are a pure function of
-    * the data — identical across runs, partitionings, and cluster sizes. */
+    * smallest (xxhash64(id), id) — a content-stable pseudo-random subset
+    * computed as a distributed top-k (one scan, a bounded heap per
+    * partition; never `limit` without order, which depends on partition
+    * layout, and never a full sort). The collected rows arrive in that
+    * total order, so the Lloyd seeding (evenly-spaced sample points) is a
+    * pure function of the data — identical across runs, partitionings, and
+    * cluster sizes. Ids of any orderable type work (never cast). */
   def trainIvfCentroids(
       vectors: DataFrame, nLists: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
     val sample = vectors
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("emb"))
+      .select(col(idCol).as("id"), col(vecCol).as("emb"))
       .orderBy(xxhash64(col("id")), col("id")).limit(trainSample)
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .select("emb")
+      .collect() // TakeOrdered output order = the (hash, id) total order
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "ivf training sample is empty")
     val k = math.min(nLists, sample.length)
     // deterministic init: k evenly spaced sample points in id order

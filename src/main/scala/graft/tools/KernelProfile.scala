@@ -14,7 +14,7 @@ object KernelProfile {
     val cfg = ExtractorConfig.default
     val ex = new Extractor(cfg)
 
-    def timed(label: String, reps: Int = 3)(body: => Long): Unit = {
+    def timed(label: String, docs: Int, reps: Int = 3)(body: => Long): Unit = {
       body // warm
       var best = Long.MaxValue
       var out = 0L
@@ -23,14 +23,15 @@ object KernelProfile {
         out = body
         best = math.min(best, System.nanoTime() - t0)
       }
-      println(f"$label%-22s ${best / 1e6}%8.1f ms  (${best / 1e3 / html.length}%6.1f us/doc)  [$out]")
+      val perDoc = if (docs == 0) 0.0 else best / 1e3 / docs
+      println(f"$label%-22s ${best / 1e6}%8.1f ms  ($perDoc%6.1f us/doc)  [$out]")
     }
 
-    println(s"fixtures=$n htmlDocs=${html.length} avgBytes=${html.map(_.html.length).sum / html.length}")
-    timed("decode") {
+    println(s"fixtures=$n htmlDocs=${html.length} avgBytes=${if (html.isEmpty) 0 else html.map(_.html.length).sum / html.length}")
+    timed("decode", html.length) {
       var acc = 0L; html.foreach(f => acc += Extractor.decode(f.html).length); acc
     }
-    timed("tokenize-only") {
+    timed("tokenize-only", html.length) {
       var acc = 0L
       decoded.foreach { d =>
         HtmlTokenizer.scan(d, cfg.maxTokens, new HtmlTokenizer.TokenSink {
@@ -41,17 +42,17 @@ object KernelProfile {
       }
       acc
     }
-    timed("tokenize+segment") {
+    timed("tokenize+segment", html.length) {
       var acc = 0L
       decoded.foreach(d => acc += BlockSegmenter.segmentDirect(d, cfg.fissionMinLinkRun, cfg.fissionMinTextWords, cfg.maxTokens).length)
       acc
     }
-    timed("full kernel") {
+    timed("full kernel", html.length) {
       var acc = 0L; html.foreach(f => acc += ex.extract(f.url, f.html, f.lang).n_chars); acc
     }
     val pdfs = fx.filter(f => Extractor.isPdf(f.html))
     println(s"pdfDocs=${pdfs.length}")
-    timed("pdf kernel") {
+    timed("pdf kernel", pdfs.length) {
       var acc = 0L; pdfs.foreach(f => acc += ex.extract(f.url, f.html, f.lang).n_chars); acc
     }
   }

@@ -87,6 +87,25 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     assert(text("BT /F1 12 Tf 72 720 Td [(al) 500 (pha)] TJ ET\n") == "alpha\n")
   }
 
+  test("TJ array hex strings decode as text, never as kerning digits") {
+    // <626574> = "bet"; its digits must not be read as a 626574/1000 kern
+    assert(text("BT /F1 12 Tf 72 720 Td [(alpha) -600 <62657461>] TJ ET\n") == "alpha beta\n")
+  }
+
+  test("/Length1 (font-stream key) never shadows /Length; indirect /Length falls back safely") {
+    val cs = "BT /F1 12 Tf 72 720 Td (guarded) Tj ET\n"
+    val body = cs.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def doc(dict: String) = (s"%PDF-1.4\n3 0 obj << $dict >> stream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body ++
+      "\nendstream endobj\ntrailer\n%%EOF\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // /Length1 after /Length: lastIndexOf must not land inside /Length1
+    val t1 = PdfTextExtractor.extract(doc(s"/Length ${body.length} /Length1 5678"), cfg).get._1
+    assert(t1 == "guarded\n")
+    // indirect /Length (10 0 R): unresolvable → fall back to endstream scan
+    val t2 = PdfTextExtractor.extract(doc("/Length 10 0 R"), cfg).get._1
+    assert(t2 == "guarded\n")
+  }
+
   test("spans: one per line, offsets exact") {
     val (t, spans) = PdfTextExtractor.extract(
       pdf("BT /F1 12 Tf 72 720 Td (ab) Tj ET\nBT /F1 12 Tf 72 700 Td (cd) Tj ET\n"), cfg).get

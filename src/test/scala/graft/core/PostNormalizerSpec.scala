@@ -66,5 +66,11 @@ class PostNormalizerSpec extends AnyFunSuite {
     // exactly the Perl cascade: s/\x{578}\x{582}/u/; s/\b\x{578}/vo/;
     // s/\x{582}/v/g  ==> "u vov".
     assert(PostNormalizer.apply("\u0578\u0582 \u0578\u0582", "hy-latin") == "u vov")
+    // dead-alternative fidelity: in rule 7 (\u0575\u0561|\u056b\u0561|\u0565\u0561|\u0565\u0561\u0575) the 3-char \u0565\u0561\u0575
+    // can never match \u2014 Perl/Java alternation is leftmost-first and its
+    // 2-char prefix \u0565\u0561 precedes it; the reference has the identical order
+    // (armenian.transcribe.pl:26). With the once-only \u0561\u0575 rule already
+    // consumed by the first word, "\u057f\u0565\u0561\u0575" resolves via \u0565\u0561 + leftover \u0575:
+    assert(PostNormalizer.apply("\u0561\u0575 \u057f\u0565\u0561\u0575", "hy-latin") == "\u0251j dj\u0251j")
   }
 }
