@@ -45,4 +45,22 @@ class CharsetDecodeSpec extends AnyFunSuite {
     assert(r.failure == "ok")
     assert(r.text.startsWith("caf\u00E9 na\u00EFve"), r.text)
   }
+
+  test("golden: hy-latin lang applies the transliteration registry through the kernel, spans exact") {
+    // 12 Armenian words -> one content block; the per-span registry pass
+    // must rewrite the block and keep span offsets exact
+    val word = "\u0578\u057D\u056F\u056B" // voski -> "vosgi"
+    val para = Array.fill(12)(word).mkString(" ")
+    val html = s"<body><p>$para</p></body>"
+    val r = Extractor.default.extract("https://t.example/hy", html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "hy-latin")
+    assert(r.failure == "ok")
+    // once-per-segment digraph rules: only the FIRST word gets \bn... ->
+    // actually \u0578 is word-initial in every word but the rule fires
+    // once per span segment, so word 1 is "vosgi" via \bo->vo and the
+    // remaining words fall to the letter table: \u0578 -> "o"
+    val rest = Array.fill(11)("osgi").mkString(" ")
+    assert(r.text == s"vosgi $rest\n", r.text)
+    assert(r.spans.length == 1 && r.spans.head.begin == 0 &&
+      r.spans.head.end == r.text.length - 1)
+  }
 }
