@@ -316,6 +316,26 @@ object SparkEntry {
         .toDF("doc_id", "len_delta", "head40")
         .orderBy("doc_id")
     }),
+    "x19_media_resize" -> ((s, d) => {
+      // multimodal resize surface (STUB resampler; real plumbing): resized
+      // payload pinned by byte length + content hash
+      import graft.multimodal.{MediaGen, Multimodal}
+      val n = math.min(Corpus.docsForSf(d), 1000L)
+      MediaGen.table(s, n).filter(col("media_type") === "image")
+        .select(col("media_id"),
+          Multimodal.resize(col("payload"), lit(8), lit(8)).as("resized"))
+        .select(col("media_id"),
+          length(col("resized")).as("n_bytes"),
+          md5(col("resized")).as("md5"))
+        .orderBy("media_id")
+    }),
+    "x20_bpe_tokens" -> ((s, d) => {
+      // BPE-ish subword pre-tokenization count (native regexp_count)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -431,6 +451,8 @@ object SparkEntry {
     "x17_training_pipeline" -> aux("x17_training_pipeline",
       "extracted_ok, qualified, exact_deduped, final_docs", "extracted_ok"),
     "x18_simhash_pairs" -> aux("x18_simhash_pairs", "id_a, id_b, hamming", "id_a, id_b"),
+    "x19_media_resize" -> aux("x19_media_resize", "media_id, n_bytes, md5", "media_id"),
+    "x20_bpe_tokens" -> aux("x20_bpe_tokens", "doc_id, bpe_tokens", "doc_id"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

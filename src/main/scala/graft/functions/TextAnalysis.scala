@@ -66,6 +66,31 @@ object TextAnalysis {
     round(lenScore * 0.4 + wordLenScore * 0.2 + punctScore * 0.2 + stopScore * 0.2, 4)
   }
 
+  /** BPE-ish subword pre-tokenization pattern (the GPT-2 family, lookahead-
+    * free): contractions, optional-leading-space letter runs, digit runs,
+    * punctuation runs. Pure whitespace is never a match, so the match count
+    * IS the subword token count. Java regex — evaluated by Spark's native
+    * `regexp_count` (codegen, no UDF) and by the single-node oracle with
+    * the identical engine. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  @transient private lazy val bpeCompiled = java.util.regex.Pattern.compile(bpePattern)
+
+  /** Pure kernel mirror of [[bpeTokenCount]]. */
+  def bpeTokenCountKernel(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val m = bpeCompiled.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Subword (BPE-ish) token count — native `regexp_count` expression. */
+  def bpeTokenCount(c: Column): Column =
+    when(c.isNull || length(c) === 0, lit(0))
+      .otherwise(regexp_count(c, lit(bpePattern)).cast("int"))
+
   // --- language identification (n-gram/stopword heuristic, SURVEY F13 analog)
 
   private val profiles: Seq[(String, Set[String])] = Seq(

@@ -205,6 +205,8 @@ object AnswerKeys {
   final case class K15(id_a: Long, id_b: Long, sim: Double)
   final case class K17(extracted_ok: Long, qualified: Long, exact_deduped: Long, final_docs: Long)
   final case class K18(id_a: Long, id_b: Long, hamming: Int)
+  final case class K19(media_id: Long, n_bytes: Int, md5: String)
+  final case class K20(doc_id: Long, bpe_tokens: Int)
 
   // ---------- inputs ------------------------------------------------------
 
@@ -380,6 +382,20 @@ object AnswerKeys {
         .map(m => K12(m.media_id, m.media_type,
           round4f(Multimodal.embedKernel(m.payload, 16)(0))))
         .sortBy(_.media_id).toDS().toDF())
+
+    write("x19_media_resize",
+      (0L until math.min(n, 1000L)).map(i => MediaGen.mediaAt(42L, i))
+        .filter(_.media_type == "image")
+        .map { m =>
+          val r = Multimodal.resizeKernel(m.payload, 8, 8)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(r)
+            .map(b => f"$b%02x").mkString
+          K19(m.media_id, r.length, md)
+        }.sortBy(_.media_id).toDS().toDF())
+
+    write("x20_bpe_tokens",
+      dd.map { case (id, t) => K20(id, TextAnalysis.bpeTokenCountKernel(t)) }
+        .toSeq.toDS().toDF())
 
     write("x13_video_frames", media.filter(_.media_type == "video").flatMap { m =>
       val meta = Multimodal.decodeMetaKernel(m.payload)
