@@ -46,12 +46,38 @@ object BlockSegmenter {
   private val skipTags = Set("script", "style", "noscript", "textarea", "head",
     "title", "svg", "iframe", "select", "option", "button", "datalist")
 
+  // one hash lookup per tag instead of 5-8 Set lookups (each rehashing a
+  // fresh substring) — the tag-classification bits fused into a bitmask
+  private final val FBlock = 1
+  private final val FBoilerTag = 2
+  private final val FSkip = 4
+  private final val FHeading = 8
+  private final val FLi = 16
+  private final val FVoid = 32
+  private val tagFlags: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    def or(name: String, bit: Int): Unit =
+      m.merge(name, Integer.valueOf(bit), (a, b) => Integer.valueOf(a | b))
+    blockTags.foreach(or(_, FBlock))
+    boilerContainerTags.foreach(or(_, FBoilerTag))
+    skipTags.foreach(or(_, FSkip))
+    headingTags.foreach(or(_, FHeading))
+    or("li", FLi)
+    HtmlTokenizer.voidElements.foreach(or(_, FVoid))
+    m
+  }
+  private val ZeroFlags = Integer.valueOf(0)
+
   private final class OpenElem(
       val name: String,
-      val isBlock: Boolean,
-      val boiler: Boolean,
-      val skip: Boolean,
-      val anchor: Boolean)
+      val flags: Int, // tagFlags bits | boiler-by-id/class folded into FBoilerTag
+      val anchor: Boolean) {
+    def isBlock: Boolean = (flags & FBlock) != 0
+    def boiler: Boolean = (flags & FBoilerTag) != 0
+    def skip: Boolean = (flags & FSkip) != 0
+    def heading: Boolean = (flags & FHeading) != 0
+    def li: Boolean = (flags & FLi) != 0
+  }
 
   /** Word run inside a block: [begin,end) chars, link flag, word count. */
   private final case class Run(begin: Int, end: Int, isLink: Boolean, words: Int)
@@ -83,8 +109,8 @@ object BlockSegmenter {
       if (e.boiler) boilerDepthC += 1
       if (e.skip) skipDepthC += 1
       if (e.isBlock) blockDepthC += 1
-      if (headingTags.contains(e.name)) headingDepthC += 1
-      if (e.name == "li") liDepthC += 1
+      if (e.heading) headingDepthC += 1
+      if (e.li) liDepthC += 1
     }
 
     private def popFrom(idx: Int): Unit = {
@@ -95,8 +121,8 @@ object BlockSegmenter {
         if (e.boiler) boilerDepthC -= 1
         if (e.skip) skipDepthC -= 1
         if (e.isBlock) blockDepthC -= 1
-        if (headingTags.contains(e.name)) headingDepthC -= 1
-        if (e.name == "li") liDepthC -= 1
+        if (e.heading) headingDepthC -= 1
+        if (e.li) liDepthC -= 1
         k -= 1
       }
       stack.remove(idx, stack.length - idx)
@@ -196,21 +222,22 @@ object BlockSegmenter {
       } else if (name == "hr") {
         flush()
       } else {
-        val isBlock = blockTags.contains(name)
-        if (isBlock) flush()
-        if (!selfClosing && !HtmlTokenizer.voidElements.contains(name)) {
-          val boiler = boilerContainerTags.contains(name) || ((id != null || cls != null) && {
+        val flags: Int = tagFlags.getOrDefault(name, ZeroFlags)
+        if ((flags & FBlock) != 0) flush()
+        if (!selfClosing && (flags & FVoid) == 0) {
+          val boilerById = (id != null || cls != null) && {
             val idClass = (if (id == null) "" else id) + " " + (if (cls == null) "" else cls)
             idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find()
-          })
-          push(new OpenElem(name, isBlock, boiler, skipTags.contains(name), name == "a"))
+          }
+          push(new OpenElem(name,
+            if (boilerById) flags | FBoilerTag else flags, name == "a"))
         }
         pendingBr = 0
       }
     }
 
     override def endTag(name: String): Unit = {
-      if (blockTags.contains(name)) flush()
+      if ((tagFlags.getOrDefault(name, ZeroFlags) & FBlock) != 0) flush()
       // pop up to and including the innermost matching open element
       val idx = stack.lastIndexWhere(_.name == name)
       if (idx >= 0) popFrom(idx)
