@@ -226,4 +226,40 @@ class PdfTextExtractorSpec extends AnyFunSuite {
       assert(t == "top\nbottom\n", s"rot=$rot got ${t.replace("\n", "\\n")}")
     }
   }
+
+  test("property: rotation round trip — extract(rotated) == extract(plain) over random layouts") {
+    val rng = new scala.util.Random(424242L)
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    (1 to 200).foreach { trial =>
+      // random grid of runs: 1-3 columns x 2-5 lines, random words
+      val nCols = 1 + rng.nextInt(3)
+      val runs = for {
+        c <- 0 until nCols
+        ln <- 0 until (2 + rng.nextInt(4))
+      } yield {
+        val x = 72.0 + c * 240.0 + rng.nextInt(3) * 6.0
+        val y = 720.0 - ln * (14.4 + rng.nextInt(3) * 7.0)
+        (x, y, s"w${trial}c${c}l$ln")
+      }
+      def doc(rot: Int): Array[Byte] = {
+        val cs = runs.map { case (x, y, t2) =>
+          val (cx, cy) = rot match {
+            case 90 => (-y, x)
+            case 180 => (-x, -y)
+            case 270 => (y, -x)
+            case _ => (x, y)
+          }
+          s"BT /F1 12 Tf ${fmt(cx)} ${fmt(cy)} Td ($t2) Tj ET\n"
+        }.mkString
+        val dict = if (rot != 0) s"/Rotate $rot" else ""
+        (s"%PDF-1.4\n3 0 obj << /Length ${cs.length} $dict >> stream\n" + cs +
+          "\nendstream endobj\ntrailer\n%%EOF\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      val plain = PdfTextExtractor.extract(doc(0), cfg)
+      val rot = Seq(90, 180, 270)(rng.nextInt(3))
+      val rotated = PdfTextExtractor.extract(doc(rot), cfg)
+      assert(rotated == plain, s"trial $trial rot=$rot")
+    }
+  }
 }

@@ -248,4 +248,37 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.bpeTokenCountKernel("don't") == 2) // don | 't
     assert(TextAnalysis.bpeTokenCountKernel(null) == 0)
   }
+
+  // --- ANN recall: the approximate paths must actually approximate -----------
+
+  test("lshTopK and ivfTopK recall vs brute force on clustered vectors") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(20260816L)
+    val dim = 16
+    // 20 cluster centers, 40 points each: ANN-friendly structure with
+    // genuine neighborhoods (uniform noise would make recall meaningless)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val vecs = (0 until 800).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => x + 0.15f * rng.nextGaussian().toFloat }.toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val k = 10
+    def neighborSet(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      res.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = neighborSet(Similarity.bruteForceTopK(df, queries, k))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size }
+      hits.sum / hits.size
+    }
+    val lsh = recall(neighborSet(Similarity.lshTopK(df, queries, k)))
+    val ivf = recall(neighborSet(Similarity.ivfTopK(df, queries, k, nLists = 16, nProbe = 4)))
+    // floors chosen with slack under the fixed seed (measured ~0.9+ both)
+    assert(lsh >= 0.5, s"LSH recall@$k too low: $lsh")
+    assert(ivf >= 0.7, s"IVF recall@$k too low: $ivf")
+    info(f"recall@$k: lsh=$lsh%.3f ivf=$ivf%.3f (brute-force exact)")
+  }
 }
