@@ -15,8 +15,12 @@ object PostNormalizer {
     * replaces only the FIRST match per segment — the analog of a Perl
     * `s///` without `/g`, which the reference's transliterators use for
     * context-sensitive digraphs (armenian.transcribe.pl:22-30 run once per
-    * line; [[applyWithSpans]] runs rules once per span segment). */
-  final case class Rule(pattern: String, replacement: String, global: Boolean = true) {
+    * line; [[applyWithSpans]] runs rules once per span segment).
+    * `raw = true` passes the replacement to the regex engine unquoted so
+    * it may reference capture groups ($1) — needed for reference rules of
+    * the form `s/ם(\p{L})/ס$1/` (fixSholem.pl:19). */
+  final case class Rule(pattern: String, replacement: String,
+      global: Boolean = true, raw: Boolean = false) {
     @transient lazy val compiled: java.util.regex.Pattern =
       java.util.regex.Pattern.compile(pattern)
   }
@@ -36,6 +40,21 @@ object PostNormalizer {
     "gez" -> Seq(
       Rule("\\s*፡\\s*", " ፡ "),
       Rule("\\s*።\\s*", " ። ")),
+    // Sholem-Aleykhem OCR fixes — the reference's table VERBATIM
+    // (fixSholem.pl:15-23), in file order: hyphen normalization, internal
+    // final-mem -> samekh, blotch-only line removal, simultaneous paren
+    // swap (Perl tr/()/)(/ via a private-use placeholder), quote shaping.
+    "yi-sholem" -> Seq(
+      Rule("--", "\u2015"),
+      Rule("[-\u2015][-\u2015]+", "\u2015"),
+      Rule("-", "\u05BE"),
+      Rule("\u05DD(\\p{L})", "\u05E1$1", raw = true),
+      Rule("(?m)^ *\u25AE[\u25AE ]*$", ""),
+      Rule("\\(", "\uE000"),
+      Rule("\\)", "("),
+      Rule("\uE000", ")"),
+      Rule("[',][,'](\\p{L})", "\u201E$1", raw = true),
+      Rule("(\\p{L}\\p{M}*[.!?]?)[',][,']", "$1\u201C", raw = true)),
     // generic typographic cleanup available to any latin corpus
     "latin-cleanup" -> Seq(
       Rule("\\u2018|\\u2019", "'"),
@@ -112,9 +131,11 @@ object PostNormalizer {
     registry.get(lang) match {
       case None => text
       case Some(rules) => rules.foldLeft(text) { (t, r) =>
-        val quoted = java.util.regex.Matcher.quoteReplacement(r.replacement)
+        val rep =
+          if (r.raw) r.replacement
+          else java.util.regex.Matcher.quoteReplacement(r.replacement)
         val m = r.compiled.matcher(t)
-        if (r.global) m.replaceAll(quoted) else m.replaceFirst(quoted)
+        if (r.global) m.replaceAll(rep) else m.replaceFirst(rep)
       }
     }
 

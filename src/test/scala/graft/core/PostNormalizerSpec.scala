@@ -73,4 +73,20 @@ class PostNormalizerSpec extends AnyFunSuite {
     // consumed by the first word, "\u057f\u0565\u0561\u0575" resolves via \u0565\u0561 + leftover \u0575:
     assert(PostNormalizer.apply("\u0561\u0575 \u057f\u0565\u0561\u0575", "hy-latin") == "\u0251j dj\u0251j")
   }
+
+  test("yi-sholem: the reference's fixSholem table verbatim (fixSholem.pl:15-23)") {
+    def f(s: String) = PostNormalizer.apply(s, "yi-sholem")
+    // hyphen battery: -- -> horizontal bar, lone - -> Hebrew maqaf
+    assert(f("a--b-c") == "a\u2015b\u05BEc")
+    // internal final mem -> samekh; word-final mem untouched
+    assert(f("\u05D0\u05DD\u05D0") == "\u05D0\u05E1\u05D0")
+    assert(f("\u05D0\u05DD") == "\u05D0\u05DD")
+    // blotch-only lines removed (multiline anchor)
+    assert(f("x\n\u25AE \u25AE\u25AE\ny") == "x\n\ny")
+    // Perl tr/()/)(/ is a SIMULTANEOUS swap
+    assert(f("(\u05D0)") == ")\u05D0(")
+    // quote shaping: ,,X -> lower quote; X.'' -> closing quote
+    assert(f(",,\u05D0") == "\u201E\u05D0")
+    assert(f("\u05D0.''") == "\u05D0.\u201C")
+  }
 }
