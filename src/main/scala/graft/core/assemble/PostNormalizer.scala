@@ -50,6 +50,11 @@ object PostNormalizer {
       Rule("-", "\u05BE"),
       Rule("\u05DD(\\p{L})", "\u05E1$1", raw = true),
       Rule("(?m)^ *\u25AE[\u25AE ]*$", ""),
+      // simultaneous paren swap needs a placeholder; pre-existing U+E000
+      // (private use \u2014 no sanctioned meaning) is neutralized to U+FFFD
+      // FIRST so it can never masquerade as a swapped paren (the one
+      // documented deviation from tr/()/)(/, which would leave it alone)
+      Rule("\uE000", "\uFFFD"),
       Rule("\\(", "\uE000"),
       Rule("\\)", "("),
       Rule("\uE000", ")"),

@@ -225,7 +225,9 @@ object BlockSegmenter {
         val flags: Int = tagFlags.getOrDefault(name, ZeroFlags)
         if ((flags & FBlock) != 0) flush()
         if (!selfClosing && (flags & FVoid) == 0) {
-          val boilerById = (id != null || cls != null) && {
+          // short-circuit: a tag-level boiler container never pays the
+          // id/class regex scan
+          val boilerById = (flags & FBoilerTag) == 0 && (id != null || cls != null) && {
             val idClass = (if (id == null) "" else id) + " " + (if (cls == null) "" else cls)
             idClass.trim.nonEmpty && boilerIdClass.matcher(idClass).find()
           }

@@ -235,17 +235,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cases = Seq(
       "Hello, world! It's 42" -> 7, // Hello | , |  world | ! |  It | 's |  42
       "" -> 0,
-      "   " -> 0,          // pure whitespace never matches
-      "a1b2" -> 4,         // letter/digit alternation splits
-      "don't" -> 3)        // don | ' -> punct? no: 't contraction => don | 't ... pinned below
+      "   " -> 0,   // pure whitespace never matches
+      "a1b2" -> 4,  // letter/digit alternation splits
+      "don't" -> 2) // don | 't (contraction branch)
     val df = docs(cases.zipWithIndex.map { case ((t, _), i) => i -> t }: _*)
     val got = df.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    cases.zipWithIndex.foreach { case ((t, _), i) =>
-      assert(got(i) == TextAnalysis.bpeTokenCountKernel(t), s"native vs kernel for '$t'")
+    cases.zipWithIndex.foreach { case ((t, expected), i) =>
+      assert(got(i) == expected, s"native count for '$t'")
+      assert(TextAnalysis.bpeTokenCountKernel(t) == expected, s"kernel count for '$t'")
     }
-    assert(TextAnalysis.bpeTokenCountKernel("Hello, world! It's 42") == 7)
-    assert(TextAnalysis.bpeTokenCountKernel("don't") == 2) // don | 't
     assert(TextAnalysis.bpeTokenCountKernel(null) == 0)
   }
 
