@@ -316,6 +316,19 @@ object SparkEntry {
         .toDF("doc_id", "len_delta", "head40")
         .orderBy("doc_id")
     }),
+    "x21_host_stats" -> ((s, d) => {
+      // per-host crawl lineage over the extraction output (G15/S9 surface):
+      // doc counts, ok counts, output chars per url host — the aggregation
+      // the per-partition lineage rows feed at scale
+      val n = Corpus.docsForSf(d)
+      ExtractPipeline.extract(s, Corpus.pages(s, n)).toDF()
+        .withColumn("host", ExtractPipeline.hostUdf(col("url")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("failure") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum("n_chars").as("chars_out"))
+        .orderBy("host")
+    }),
     "x19_media_resize" -> ((s, d) => {
       // multimodal resize surface (STUB resampler; real plumbing): resized
       // payload pinned by byte length + content hash
@@ -453,6 +466,7 @@ object SparkEntry {
     "x18_simhash_pairs" -> aux("x18_simhash_pairs", "id_a, id_b, hamming", "id_a, id_b"),
     "x19_media_resize" -> aux("x19_media_resize", "media_id, n_bytes, md5", "media_id"),
     "x20_bpe_tokens" -> aux("x20_bpe_tokens", "doc_id, bpe_tokens", "doc_id"),
+    "x21_host_stats" -> aux("x21_host_stats", "host, docs, n_ok, chars_out", "host"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -110,6 +110,43 @@ object ExtractJob {
         sum(when(col("failure") === "parse_error", 1L).otherwise(0L)).as("n_parse_error"),
         sum(when(col("failure") === "oversize", 1L).otherwise(0L)).as("n_oversize"))
 
+  /** Compact every live committed run into ONE new run of target-sized
+    * files — the parquet surrogate of Iceberg's `rewrite_data_files`
+    * maintenance action. A long-lived incremental job accumulates many
+    * small `run_id=N` files (each drain writes its own); at 10^12 rows the
+    * scan cost is dominated by file-open overhead unless they are
+    * periodically rewritten.
+    *
+    * Protocol (crash-safe in the same way as [[run]]):
+    *  1. read all live runs, dedup by url (the reader contract);
+    *  2. write the consolidated run (fanout capped by maxRecordsPerFile);
+    *  3. commit it; 4. retire the source runs (a separate `_retired`
+    *     table — nothing is deleted or rewritten in place).
+    * A crash between 3 and 4 leaves old+new runs live — readers dedup by
+    * url, the resume anti-join only over-matches — still exactly-once. */
+  def compact(
+      spark: SparkSession, outDir: String, maxRecordsPerFile: Long = 0L): RunResult = {
+    val store = new ParquetCheckpointStore(spark, outDir)
+    val ids = store.committedRunIds()
+    require(ids.nonEmpty, s"nothing to compact under $outDir")
+    val live = spark.read
+      .parquet(ids.map(id => s"$outDir/extracted/run_id=$id"): _*)
+      .dropDuplicates("url")
+      .drop("partition_id")
+      .withColumn("partition_id", spark_partition_id())
+    val runId = store.nextRunId()
+    val path = s"$outDir/extracted/run_id=$runId"
+    val writer = live.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(path)
+    val written = spark.read.parquet(path)
+    lineageAgg(written).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
+    val docs = written.count()
+    store.commit(runId, docs, s"compaction:${ids.mkString("+")}")
+    store.retire(ids)
+    RunResult(runId, docs, docs)
+  }
+
   /** Idempotent reader view over all committed runs. */
   def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
     val store = new ParquetCheckpointStore(spark, outDir)
@@ -133,9 +170,12 @@ object ExtractJob {
   * parquet `_checkpoint` table here. */
 trait CheckpointStore {
   def nextRunId(): Long
+  /** LIVE runs: committed minus retired-by-compaction. */
   def committedRunIds(): Seq[Long]
   def committedUrls(): Option[DataFrame]
   def commit(runId: Long, docCount: Long, sourceFingerprint: String): Unit
+  /** Mark runs as superseded by a compaction (Iceberg: snapshot expiry). */
+  def retire(runIds: Seq[Long]): Unit
 }
 
 final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends CheckpointStore {
@@ -143,13 +183,33 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
   private def fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(path))
+  private val retiredPath = s"$outDir/_retired"
 
-  override def committedRunIds(): Seq[Long] =
+  private def exists(p: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p))
+  private def exists: Boolean = exists(path)
+
+  private def retiredRunIds(): Set[Long] =
+    if (!exists(retiredPath)) Set.empty
+    else spark.read.parquet(retiredPath).select("run_id").collect().map(_.getLong(0)).toSet
+
+  private def allRunIds(): Seq[Long] =
     if (!exists) Seq.empty
     else spark.read.parquet(path).select("run_id").collect().map(_.getLong(0)).toSeq.sorted
 
-  override def nextRunId(): Long = committedRunIds().lastOption.getOrElse(-1L) + 1L
+  override def committedRunIds(): Seq[Long] = {
+    val retired = retiredRunIds()
+    allRunIds().filterNot(retired)
+  }
+
+  // next id must clear RETIRED runs too — their directories still exist
+  override def nextRunId(): Long = allRunIds().lastOption.getOrElse(-1L) + 1L
+
+  override def retire(runIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (runIds.nonEmpty)
+      runIds.toDF("run_id").write.mode(SaveMode.Append).parquet(retiredPath)
+  }
 
   override def committedUrls(): Option[DataFrame] = {
     val ids = committedRunIds()

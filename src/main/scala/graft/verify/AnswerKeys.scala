@@ -207,6 +207,7 @@ object AnswerKeys {
   final case class K18(id_a: Long, id_b: Long, hamming: Int)
   final case class K19(media_id: Long, n_bytes: Int, md5: String)
   final case class K20(doc_id: Long, bpe_tokens: Int)
+  final case class K21(host: String, docs: Long, n_ok: Long, chars_out: Long)
 
   // ---------- inputs ------------------------------------------------------
 
@@ -250,6 +251,19 @@ object AnswerKeys {
     write("x4_taxonomy", fx.groupBy(_.expected.failure).map { case (fail, fs) =>
       K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
     }.toSeq.sortBy(_.failure).toDS().toDF())
+
+    def hostOf(url: String): String = {
+      val i = url.indexOf("://")
+      val start = if (i >= 0) i + 3 else 0
+      var end = start
+      while (end < url.length && url.charAt(end) != '/' && url.charAt(end) != '?' && url.charAt(end) != '#') end += 1
+      url.substring(start, end)
+    }
+    write("x21_host_stats", fx.groupBy(f => hostOf(f.url)).map { case (h, fs) =>
+      K21(h, fs.size.toLong,
+        fs.count(_.expected.failure == "ok").toLong,
+        fs.map(_.expected.text.length.toLong).sum)
+    }.toSeq.sortBy(_.host).toDS().toDF())
 
     // x5/x18: near-dup pairs over documents — single-node banding
     val dd = docs(spark, d)
