@@ -60,6 +60,51 @@ object PostNormalizer {
       Rule("\uE000", ")"),
       Rule("[',][,'](\\p{L})", "\u201E$1", raw = true),
       Rule("(\\p{L}\\p{M}*[.!?]?)[',][,']", "$1\u201C", raw = true)),
+    // Raismann YIVO romanization - the reference's germanic->YIVO table
+    // VERBATIM in file order (raismann.post.pl:15-57), bracketed by the
+    // whole-text lowercase pre/post transforms (preTransforms below).
+    // Uppercase in replacements shields already-converted text from later
+    // lowercase-only rules, exactly as in the Perl; the duplicated viel
+    // rule is kept as-is.
+    "yi-yivo" -> Seq(
+      Rule("i\\.", "i"),
+      Rule("\\bsitzen\\b", "SITSEN"),
+      Rule("\\bviel\\b", "FIL"),
+      Rule("\\bviel\\b", "FIL"),
+      Rule("\\bverdriessen\\b", "FERDRISEN"),
+      Rule("ei", "AY"),
+      Rule("ee", "EY"),
+      Rule("ui", "OY"),
+      Rule("nsch", "NTSH"),
+      Rule("sch", "SH"),
+      Rule("ch", "KH"),
+      Rule("ss", "S"),
+      Rule("tz", "TS"),
+      Rule("c(?:k?)", "K"),
+      Rule("z", "TS"),
+      Rule("s(t|p)", "SH$1", raw = true),
+      Rule("jim\\b", "YIM"),
+      Rule("\\bjo", "YO"),
+      Rule("(?i)\\bj(?:\u00E8)", "YE"),
+      Rule("j", "ZH"),
+      Rule("u", "U"),
+      Rule("ie", "I"),
+      Rule("eh", "EY"),
+      Rule("(?i)s([aeiou])", "Z$1", raw = true),
+      Rule("\\b([iU])s\\b", "$1z", raw = true),
+      Rule("\u00E8", "E"),
+      Rule("w", "V"),
+      Rule("aa", "A"),
+      Rule("mm", "M"),
+      Rule("rr", "R"),
+      Rule("tt", "T"),
+      Rule("ll", "L"),
+      Rule("ff", "F"),
+      Rule("'([\\s,])", ",$1", raw = true),
+      Rule(",'(?=\\w)", ",,"),
+      Rule(",,(?!\\w)", "''"),
+      Rule("(\\w),(\\w)", "$1'$2", raw = true),
+      Rule("(?i)([^mnv])en", "$1n", raw = true)),
     // generic typographic cleanup available to any latin corpus
     "latin-cleanup" -> Seq(
       Rule("\\u2018|\\u2019", "'"),
@@ -131,17 +176,28 @@ object PostNormalizer {
       "\u055E" -> "?"             // question mark
     ).map { case (p, r) => Rule(p, r) }))
 
+  /** Whole-segment transforms around a rule set — the analog of
+    * raismann.post.pl's `lc <STDIN>` / `print lc $text` bracketing, which
+    * a substitution list alone cannot express. */
+  val preTransforms: Map[String, String => String] = Map(
+    "yi-yivo" -> (_.toLowerCase))
+  val postTransforms: Map[String, String => String] = Map(
+    "yi-yivo" -> (_.toLowerCase))
+
   /** Apply the `lang` registry (no-op for unknown langs). */
   def apply(text: String, lang: String): String =
     registry.get(lang) match {
       case None => text
-      case Some(rules) => rules.foldLeft(text) { (t, r) =>
-        val rep =
-          if (r.raw) r.replacement
-          else java.util.regex.Matcher.quoteReplacement(r.replacement)
-        val m = r.compiled.matcher(t)
-        if (r.global) m.replaceAll(rep) else m.replaceFirst(rep)
-      }
+      case Some(rules) =>
+        val pre = preTransforms.get(lang).fold(text)(_(text))
+        val out = rules.foldLeft(pre) { (t, r) =>
+          val rep =
+            if (r.raw) r.replacement
+            else java.util.regex.Matcher.quoteReplacement(r.replacement)
+          val m = r.compiled.matcher(t)
+          if (r.global) m.replaceAll(rep) else m.replaceFirst(rep)
+        }
+        postTransforms.get(lang).fold(out)(_(out))
     }
 
   /** Apply rules per span segment so offsets stay exact even when rule

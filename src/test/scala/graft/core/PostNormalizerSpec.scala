@@ -89,4 +89,38 @@ class PostNormalizerSpec extends AnyFunSuite {
     assert(f(",,\u05D0") == "\u201E\u05D0")
     assert(f("\u05D0.''") == "\u05D0.\u201C")
   }
+
+  test("differential gold: rule-set ports reproduce the reference Perl scripts byte-for-byte") {
+    // every `gold` string below is the LITERAL output of running the
+    // actual reference script (perl 5, utf8) on the input line —
+    // raismann.post.pl, fixSholem.pl, armenian.transcribe.pl
+    // raismann.post.pl
+    Seq(
+      ("schwarz", "shvarts"),
+      ("mujik", "muzhik"),
+      ("sitzen will ich", "zitzn vil ikh"),
+      ("viel und verdriessen", "fil und ferdrizn"),
+      ("scheen ui nsch", "sheyn oy ntsh"),
+      ("jim jogen", "yim yogn")
+    ).foreach { case (in, gold) =>
+      assert(PostNormalizer.apply(in, "yi-yivo") == gold, s"yi-yivo: $in")
+    }
+    // fixSholem.pl
+    Seq(
+      ("a--b-c und x---y", "a\u2015b\u05BEc und x\u2015y"),
+      ("\u05E9\u05DC\u05D5\u05DD (\u05E2\u05D5\u05DC\u05DD) \u05DB\u0430\u05DD", "\u05E9\u05DC\u05D5\u05DD )\u05E2\u05D5\u05DC\u05DD( \u05DB\u0430\u05DD"),
+      (",,\u05E6\u05D9\u05D8\u05D0\u05D8'' \u05D0\u05D5\u05DF \u05E0\u05D0\u05DA", "\u201E\u05E6\u05D9\u05D8\u05D0\u05D8\u201C \u05D0\u05D5\u05DF \u05E0\u05D0\u05DA"),
+      ("\u05D0\u05DD\u05D0 \u05D0\u05DD", "\u05D0\u05E1\u05D0 \u05D0\u05DD")
+    ).foreach { case (in, gold) =>
+      assert(PostNormalizer.apply(in, "yi-sholem") == gold, s"yi-sholem: $in")
+    }
+    // armenian.transcribe.pl
+    Seq(
+      ("\u0570\u0561\u0575 \u0564\u0578\u0582 \u0578\u057D\u056F\u056B", "h\u0251j t\u02B0u vosgi"),
+      ("\u0561\u0575 \u057F\u0565\u0561\u0575 \u0562\u0561\u0580\u0565\u0582", "\u0251j dj\u0251j p\u0251\u027E\u025Bv"),
+      ("\u0565\u0580\u0565\u056D\u0561 \u0578\u0575\u0580", "j\u025B\u027E\u025B\u03C7\u0251 voj\u027E")
+    ).foreach { case (in, gold) =>
+      assert(PostNormalizer.apply(in, "hy-latin") == gold, s"hy-latin: $in")
+    }
+  }
 }
