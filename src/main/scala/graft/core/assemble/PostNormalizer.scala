@@ -105,6 +105,30 @@ object PostNormalizer {
       Rule(",,(?!\\w)", "''"),
       Rule("(\\w),(\\w)", "$1'$2", raw = true),
       Rule("(?i)([^mnv])en", "$1n", raw = true)),
+    // Yiddish UTF-8 cleanup - fixutf8.pl VERBATIM (generated from the
+    // script source): ligature composition, precomposed->base+mark
+    // decomposition, rofe addition, OCR space-before-punct fix. The
+    // soft-hyphen rule also exists upstream in normalizeChars; kept
+    // here for table fidelity (idempotent).
+    "yi-utf8" -> Seq(
+      Rule("\u05D5\u05D5", "\u05F0"),
+      Rule("\u05D5\u05D9", "\u05F1"),
+      Rule("\u05D9\u05D9", "\u05F2"),
+      Rule("\u05D9\u05B4\u05D9\u05B4", "\u05F2\u05B5"),
+      Rule("\u05F2\u05B4", "\u05D9\u05D9\u05B4"),
+      Rule("\u05F2\u05B4", "\u05D9\u05D9\u05B4"),
+      Rule("\u05F1\u05B4", "\u05D5\u05D9\u05B4"),
+      Rule("\u00AD", ""),
+      Rule("\uFB2B", "\u05E9\u05C2"),
+      Rule("\uFB3B", "\u05DB\u05BC"),
+      Rule("\uFB35", "\u05D5\u05BC"),
+      Rule("\uFB2F", "\u05D0\u05B8"),
+      Rule("\uFB2E", "\u05D0\u05B7"),
+      Rule("\uFB4A", "\u05EA\u05BC"),
+      Rule("\uFB4E", "\u05E4\u05BF"),
+      Rule("\uFB44", "\u05E4\u05BC"),
+      Rule("\u05E4(?![\u05BC\u05BF])", "\u05E4\u05BF"),
+      Rule(" ([\\?:,\\.!])", "$1", raw = true)),
     // generic typographic cleanup available to any latin corpus
     "latin-cleanup" -> Seq(
       Rule("\\u2018|\\u2019", "'"),

@@ -123,4 +123,17 @@ class PostNormalizerSpec extends AnyFunSuite {
       assert(PostNormalizer.apply(in, "hy-latin") == gold, s"hy-latin: $in")
     }
   }
+
+  test("differential gold: yi-utf8 reproduces fixutf8.pl byte-for-byte") {
+    // gold strings are the literal output of the reference fixutf8.pl
+    Seq(
+      ("\u05D5\u05D5\u05D0\u05E1 \u05D0\u05D9\u05D6 \u05D3\u05D0\u05E1", "\u05F0\u05D0\u05E1 \u05D0\u05D9\u05D6 \u05D3\u05D0\u05E1"),
+      ("\u05E4\u05D0\u05E8 \u05D3\u05D9 \u05D5\u05D9\u05E0\u05D8", "\u05E4\u05BF\u05D0\u05E8 \u05D3\u05D9 \u05F1\u05E0\u05D8"),
+      ("\u05E9\u05C2 \u05DB\u05BC \u05D5\u05BC \u05D0\u05B8 \u05D0\u05B7 \u05EA\u05BC \u05E4\u05BF \u05E4\u05BC", "\u05E9\u05C2 \u05DB\u05BC \u05D5\u05BC \u05D0\u05B8 \u05D0\u05B7 \u05EA\u05BC \u05E4\u05BF \u05E4\u05BC"),
+      ("\u05D0 \u05D9\u05D9 \u05D2\u05D5\u05D8 ?", "\u05D0 \u05F2 \u05D2\u05D5\u05D8?"),
+      ("\u05E4\u05BC\u05D0\u05E4\u05D9\u05E8 \u05D0\u05D5\u05DF \u05E4\u05BF\u05DC\u05D0\u05DD", "\u05E4\u05BC\u05D0\u05E4\u05BF\u05D9\u05E8 \u05D0\u05D5\u05DF \u05E4\u05BF\u05DC\u05D0\u05DD")
+    ).foreach { case (in, gold) =>
+      assert(PostNormalizer.apply(in, "yi-utf8") == gold, s"yi-utf8: $in")
+    }
+  }
 }
