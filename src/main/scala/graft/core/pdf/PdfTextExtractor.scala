@@ -414,8 +414,11 @@ object PdfTextExtractor {
   }
 
   private[pdf] def assembleRuns(runs: Vector[Run], cfg: ExtractorConfig, rtl: Boolean = false): (String, Vector[Span]) = {
-    // page → columns over RUNS (G2) → line grouping → (−y, seq) per column
-    val pages = runs.groupBy(_.page).toSeq.sortBy(_._1)
+    // page → columns over RUNS (G2) → line grouping → (−y, seq) per column.
+    // RTL documents read pages back-to-front (reference: pages.pl emits
+    // the page list in reverse for RTL books) and columns right-to-left.
+    val pages0 = runs.groupBy(_.page).toSeq.sortBy(_._1)
+    val pages = if (rtl) pages0.reverse else pages0
     // each element: (column lines sorted top-to-bottom, column minX)
     val columns = pages.flatMap { case (_, pageRuns) =>
       val buf = new ArrayBuffer[Run](pageRuns.length)

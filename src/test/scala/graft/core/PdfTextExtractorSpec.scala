@@ -262,4 +262,13 @@ class PdfTextExtractorSpec extends AnyFunSuite {
       assert(rotated == plain, s"trial $trial rot=$rot")
     }
   }
+
+  test("RTL documents read pages back-to-front (P7 analog: pages.pl reverse order)") {
+    val p1 = "BT /F1 12 Tf 72 720 Td (page one) Tj ET\n"
+    val p2 = "BT /F1 12 Tf 72 720 Td (page two) Tj ET\n"
+    val rtl = PdfTextExtractor.extract(pdf(p1, p2), cfg, rtl = true).get._1
+    assert(rtl == "page two\npage one\n")
+    // LTR order unchanged
+    assert(text(p1, p2) == "page one\npage two\n")
+  }
 }
