@@ -68,10 +68,10 @@ object PostNormalizer {
     // rule is kept as-is.
     "yi-yivo" -> Seq(
       Rule("i\\.", "i"),
-      Rule("\\bsitzen\\b", "SITSEN"),
-      Rule("\\bviel\\b", "FIL"),
-      Rule("\\bviel\\b", "FIL"),
-      Rule("\\bverdriessen\\b", "FERDRISEN"),
+      Rule("(?U)\\bsitzen\\b", "SITSEN"),
+      Rule("(?U)\\bviel\\b", "FIL"),
+      Rule("(?U)\\bviel\\b", "FIL"),
+      Rule("(?U)\\bverdriessen\\b", "FERDRISEN"),
       Rule("ei", "AY"),
       Rule("ee", "EY"),
       Rule("ui", "OY"),
@@ -83,15 +83,15 @@ object PostNormalizer {
       Rule("c(?:k?)", "K"),
       Rule("z", "TS"),
       Rule("s(t|p)", "SH$1", raw = true),
-      Rule("jim\\b", "YIM"),
-      Rule("\\bjo", "YO"),
-      Rule("(?i)\\bj(?:\u00E8)", "YE"),
+      Rule("(?U)jim\\b", "YIM"),
+      Rule("(?U)\\bjo", "YO"),
+      Rule("(?iU)\\bj(?:e\u0300|\u00E8)", "YE"),
       Rule("j", "ZH"),
       Rule("u", "U"),
       Rule("ie", "I"),
       Rule("eh", "EY"),
       Rule("(?i)s([aeiou])", "Z$1", raw = true),
-      Rule("\\b([iU])s\\b", "$1z", raw = true),
+      Rule("(?U)\\b([iU])s\\b", "$1z", raw = true),
       Rule("\u00E8", "E"),
       Rule("w", "V"),
       Rule("aa", "A"),
@@ -100,10 +100,10 @@ object PostNormalizer {
       Rule("tt", "T"),
       Rule("ll", "L"),
       Rule("ff", "F"),
-      Rule("'([\\s,])", ",$1", raw = true),
-      Rule(",'(?=\\w)", ",,"),
-      Rule(",,(?!\\w)", "''"),
-      Rule("(\\w),(\\w)", "$1'$2", raw = true),
+      Rule("(?U)'([\\s,])", ",$1", raw = true),
+      Rule("(?U),'(?=\\w)", ",,"),
+      Rule("(?U),,(?!\\w)", "''"),
+      Rule("(?U)(\\w),(\\w)", "$1'$2", raw = true),
       Rule("(?i)([^mnv])en", "$1n", raw = true)),
     // Yiddish UTF-8 cleanup - fixutf8.pl VERBATIM (generated from the
     // script source): ligature composition, precomposed->base+mark
@@ -204,9 +204,9 @@ object PostNormalizer {
     * raismann.post.pl's `lc <STDIN>` / `print lc $text` bracketing, which
     * a substitution list alone cannot express. */
   val preTransforms: Map[String, String => String] = Map(
-    "yi-yivo" -> (_.toLowerCase))
+    "yi-yivo" -> (_.toLowerCase(java.util.Locale.ROOT)))
   val postTransforms: Map[String, String => String] = Map(
-    "yi-yivo" -> (_.toLowerCase))
+    "yi-yivo" -> (_.toLowerCase(java.util.Locale.ROOT)))
 
   /** Apply the `lang` registry (no-op for unknown langs). */
   def apply(text: String, lang: String): String =

@@ -117,13 +117,19 @@ object ExtractJob {
     * scan cost is dominated by file-open overhead unless they are
     * periodically rewritten.
     *
-    * Protocol (crash-safe in the same way as [[run]]):
+    * Protocol (crash-safe):
     *  1. read all live runs, dedup by url (the reader contract);
     *  2. write the consolidated run (fanout capped by maxRecordsPerFile);
-    *  3. commit it; 4. retire the source runs (a separate `_retired`
-    *     table — nothing is deleted or rewritten in place).
-    * A crash between 3 and 4 leaves old+new runs live — readers dedup by
-    * url, the resume anti-join only over-matches — still exactly-once. */
+    *  3. COMMIT it with fingerprint `compaction:<src ids>` — the commit is
+    *     the atomic supersession point: [[ParquetCheckpointStore]] treats
+    *     runs named in a live compaction fingerprint as retired, so a
+    *     crash before step 4 never double-counts (neither readExtracted
+    *     nor readLineage sees old + new together);
+    *  4. append the source ids to the `_retired` table (bookkeeping that
+    *     also covers runs superseded by since-expired compactions).
+    * Nothing is deleted or rewritten in place.
+    *
+    * `newDocs` is 0 — compaction rewrites, it never ingests. */
   def compact(
       spark: SparkSession, outDir: String, maxRecordsPerFile: Long = 0L): RunResult = {
     val store = new ParquetCheckpointStore(spark, outDir)
@@ -139,12 +145,15 @@ object ExtractJob {
     val writer = live.write.mode(SaveMode.Overwrite)
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(path)
-    val written = spark.read.parquet(path)
-    lineageAgg(written).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
-    val docs = written.count()
+    val lineage = lineageAgg(spark.read.parquet(path))
+    lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
+    // doc count from the (tiny) lineage table — no second scan of the
+    // compacted output (run() uses df.observe for the same reason)
+    val docs = spark.read.parquet(s"$outDir/lineage/run_id=$runId")
+      .agg(sum("doc_count")).first.getLong(0)
     store.commit(runId, docs, s"compaction:${ids.mkString("+")}")
     store.retire(ids)
-    RunResult(runId, docs, docs)
+    RunResult(runId, docs, 0L)
   }
 
   /** Idempotent reader view over all committed runs. */
@@ -198,8 +207,19 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
     else spark.read.parquet(path).select("run_id").collect().map(_.getLong(0)).toSeq.sorted
 
   override def committedRunIds(): Seq[Long] = {
-    val retired = retiredRunIds()
-    allRunIds().filterNot(retired)
+    if (!exists) return Seq.empty
+    // a committed compaction atomically supersedes its source runs via its
+    // fingerprint — the `_retired` table is only follow-up bookkeeping, so
+    // a crash between commit and retire never double-counts
+    val rows = spark.read.parquet(path)
+      .select("run_id", "source_fingerprint").collect()
+    val supersededByFingerprint = rows.iterator
+      .filter(_.getString(1).startsWith("compaction:"))
+      .flatMap(_.getString(1).stripPrefix("compaction:").split('+'))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .toSet
+    val retired = retiredRunIds() ++ supersededByFingerprint
+    rows.map(_.getLong(0)).toSeq.sorted.filterNot(retired)
   }
 
   // next id must clear RETIRED runs too — their directories still exist

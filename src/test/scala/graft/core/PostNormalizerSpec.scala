@@ -136,4 +136,16 @@ class PostNormalizerSpec extends AnyFunSuite {
       assert(PostNormalizer.apply(in, "yi-utf8") == gold, s"yi-utf8: $in")
     }
   }
+
+  test("differential gold: yi-yivo Unicode edges (decomposed grave, umlaut word chars) match Perl") {
+    // Perl's utf8 \w and the decomposed e+U+0300 alternative of
+    // raismann.post.pl:36 — gold strings are the literal Perl output
+    Seq(
+      ("je\u0300 zikh", "ye tzikh"),
+      ("gr\u00FC,ne w\u00E4lder", "gr\u00FC'ne v\u00E4lder"),
+      ("j\u00E8 viel", "ye fil")
+    ).foreach { case (in, gold) =>
+      assert(PostNormalizer.apply(in, "yi-yivo") == gold, s"yi-yivo: $in")
+    }
+  }
 }

@@ -68,4 +68,27 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r4.newDocs == 100)
     assert(ExtractJob.readExtracted(spark, out).count() == 600)
   }
+
+  test("crash window: a committed compaction supersedes its sources even if retirement never ran") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    val cfg = ExtractPipeline.PipelineConfig(repartitionByHost = false, numPartitions = 2)
+    ExtractJob.run(spark, Corpus.pages(spark, 200), out, cfg)
+    ExtractJob.run(spark, Corpus.pages(spark, 300), out, cfg)
+    val c = ExtractJob.compact(spark, out)
+    assert(c.newDocs == 0) // compaction never ingests
+    // simulate the crash-between-commit-and-retire window: drop _retired
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    rmRf(new java.io.File(s"$out/_retired"))
+    val store = new ParquetCheckpointStore(spark, out)
+    assert(store.committedRunIds() == Seq(c.runId),
+      "compaction fingerprint must supersede source runs without _retired")
+    assert(ExtractJob.readExtracted(spark, out).count() == 300)
+    assert(ExtractJob.readLineage(spark, out)
+      .agg(sum("doc_count")).first.getLong(0) == 300) // no double count
+    // resume still exact
+    assert(ExtractJob.run(spark, Corpus.pages(spark, 300), out, cfg).newDocs == 0)
+  }
 }
