@@ -280,4 +280,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf >= 0.7, s"IVF recall@$k too low: $ivf")
     info(f"recall@$k: lsh=$lsh%.3f ivf=$ivf%.3f (brute-force exact)")
   }
+
+  test("AnswerKeys mirrors are bit-exact vs the native expressions on adversarial inputs") {
+    import graft.verify.AnswerKeys
+    val s = spark; import s.implicits._
+    val pieces = Seq(
+      "the quick", "  brown\tfox ", "!!!", "h\u00E9llo w\u00F6rld", "42 1,000",
+      "a", "", "   ", "\n\n", "punct???!!!", "\u03C2 \u03A3\u0399\u0393\u039C\u0391",
+      "THE AND OF", "x" * 300, "\uD83D\uDE00 emoji", "tab\there", "\u00A0nbsp")
+    val rng = new scala.util.Random(99L)
+    val texts = (0 until 80).map { i =>
+      i.toLong -> (0 to rng.nextInt(5)).map(_ => pieces(rng.nextInt(pieces.length))).mkString(" ")
+    }
+    val df = texts.toDF("doc_id", "text")
+    val gotQ = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotT = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(java.lang.Double.doubleToLongBits(gotQ(id)) ==
+        java.lang.Double.doubleToLongBits(AnswerKeys.quality(t)), s"quality mirror for '$t'")
+      assert(gotT(id) == AnswerKeys.tokenCount(t), s"tokenCount mirror for '$t'")
+    }
+    // cosine: random float vectors incl. zero vectors
+    val vecs = (0 until 40).map { i =>
+      val a = Array.fill(12)(if (i == 0) 0f else rng.nextFloat() - 0.5f)
+      val b = Array.fill(12)(if (i == 1) 0f else rng.nextFloat() - 0.5f)
+      (i.toLong, a, b)
+    }
+    val vdf = vecs.toDF("id", "a", "b")
+    val gotC = vdf.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, a, b) =>
+      assert(java.lang.Double.doubleToLongBits(gotC(id)) ==
+        java.lang.Double.doubleToLongBits(AnswerKeys.cosine(a, b)), s"cosine mirror at $id")
+    }
+  }
 }
