@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // per-sf answer-key directory (ADVICE r2): keys and the oracle SQL that
+    // reads them resolve to the same absolute path, derived from cwd + the
+    // sf dir name, so concurrent verifies at different sf never clobber
+    sys.props("graft.verify.auxDir") = new java.io.File(
+      s"target/verify_aux/${new java.io.File(sfDir).getName}").getAbsolutePath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

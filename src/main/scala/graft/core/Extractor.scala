@@ -21,9 +21,13 @@ final class Extractor(
     classifier: BlockClassifier = HeuristicClassifier) extends Serializable {
 
   // one corrector per Extractor instance (per task) — its memo cache is the
-  // fixspell `%corrected` analog and must outlive single documents
-  @transient private lazy val spellRepairer =
-    new graft.core.assemble.SpellRepair(cfg.dictionary)
+  // fixspell `%corrected` analog and must outlive single documents. The
+  // "yi" profile is the VERBATIM fixspell.pl pipeline (regex corrections,
+  // exact-match ok words); anything else is the generalized latin mechanism.
+  @transient private lazy val spellRepairer: String => String =
+    if (cfg.spellProfile == "yi")
+      new graft.core.assemble.FixspellRepair(cfg.dictionary).correctText _
+    else new graft.core.assemble.SpellRepair(cfg.dictionary).correctText _
 
   def extract(url: String, bytes: Array[Byte], lang: String): ExtractedRow = {
     val nIn = if (bytes == null) 0L else bytes.length.toLong
@@ -55,7 +59,7 @@ final class Extractor(
           // optional dictionary spell repair (P2 analog), span-preserving
           val (text, spans) =
             if (cfg.spellRepair && cfg.dictionary.nonEmpty)
-              Spans.rewrite(text1, spans1)(spellRepairer.correctText)
+              Spans.rewrite(text1, spans1)(spellRepairer)
             else (text1, spans1)
           if (text.isEmpty) row("", Nil, Failure.Empty, 0)
           else row(text, spans, Failure.Ok, spans.length)

@@ -112,7 +112,11 @@ final case class ExtractorConfig(
     pdfLineYTolerance: Double = 2.0,
     /** optional dictionary spell repair (P2, fixspell.pl) */
     spellRepair: Boolean = false,
-    dictionary: Set[String] = Set.empty)
+    dictionary: Set[String] = Set.empty,
+    /** which spell-repair pipeline: "latin" = the generalized OCR-confusion
+      * mechanism; "yi" = the reference's fixspell.pl VERBATIM (regex
+      * correction table, exact-match ok words, maqaf rejoin) */
+    spellProfile: String = "latin")
 
 object ExtractorConfig {
   val default: ExtractorConfig = ExtractorConfig()
@@ -131,7 +135,11 @@ object ExtractorConfig {
     // link-heavy reference/wiki pages: tolerate higher link density
     "wiki" -> default.copy(maxContentLinkDensity = 0.5, fissionMinLinkRun = 6),
     // strict dedup-corpus preparation: spell repair on
-    "training-clean" -> default.copy(spellRepair = true))
+    "training-clean" -> default.copy(spellRepair = true),
+    // Yiddish corpora: the reference's actual batch pipe
+    // (main/Makefile:698-701 fixutf8 | fixspell): verbatim fixspell.pl
+    // repair (dictionary supplied per corpus) over RTL assembly
+    "yi" -> default.copy(spellRepair = true, spellProfile = "yi"))
 
   def profile(name: String): ExtractorConfig =
     profiles.getOrElse(name, default)

@@ -218,8 +218,15 @@ object PostNormalizer {
           val rep =
             if (r.raw) r.replacement
             else java.util.regex.Matcher.quoteReplacement(r.replacement)
-          val m = r.compiled.matcher(t)
-          if (r.global) m.replaceAll(rep) else m.replaceFirst(rep)
+          if (r.global) r.compiled.matcher(t).replaceAll(rep)
+          // Perl s/// without /g fires once per LINE (the reference's
+          // transliterators process <STDIN> line by line) — a multi-line
+          // segment must apply the rule once per line, not once per
+          // segment (ADVICE r2; multi-line golden in PostNormalizerSpec)
+          else if (t.indexOf('\n') < 0) r.compiled.matcher(t).replaceFirst(rep)
+          else t.split("\n", -1)
+            .map(l => r.compiled.matcher(l).replaceFirst(rep))
+            .mkString("\n")
         }
         postTransforms.get(lang).fold(out)(_(out))
     }

@@ -26,8 +26,10 @@ trait BlockClassifier extends Serializable {
   *     a short clean block (fusionMinWords..fusionMaxWords words, link
   *     density <= fusionMaxLinkDensity) sandwiched between two kept content
   *     blocks is absorbed as content;
-  *  6. list items in a list where the *majority* of items qualify as content
-  *     by words/link-density are kept — kind = list.
+  *  6. each list item is classified INDEPENDENTLY by the same words/
+  *     link-density rules as prose (pass 1) — kind = list. There is
+  *     deliberately no list-majority vote: the generation-time oracle and
+  *     the fixture goldens pin per-item behavior (VERDICT r2 #7).
   */
 object HeuristicClassifier extends BlockClassifier {
 

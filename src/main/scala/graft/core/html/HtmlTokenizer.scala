@@ -131,21 +131,23 @@ object HtmlTokenizer {
         // would otherwise emit a LONE surrogate, ill-formed UTF-16 that
         // mutates through UTF8String/parquet round trips and breaks the
         // byte-identity/resume contract (ADVICE r1).
+        // ...plus (ADVICE r2, WHATWG 13.2.5.80): NUL (&#0;) and
+        // out-of-range values (> 0x10FFFF) also map to U+FFFD instead of
+        // falling through as literal text.
         def appendRef(cp: Int): Unit =
-          if (cp >= Character.MIN_SURROGATE.toInt && cp <= Character.MAX_SURROGATE.toInt)
+          if (cp == 0 || !Character.isValidCodePoint(cp) ||
+              (cp >= Character.MIN_SURROGATE.toInt && cp <= Character.MAX_SURROGATE.toInt))
             sb.append('\uFFFD')
           else sb.appendCodePoint(cp)
         if (body.startsWith("#x") || body.startsWith("#X")) {
           try {
             val cp = Integer.parseInt(body.substring(2), 16)
-            if (Character.isValidCodePoint(cp)) { appendRef(cp); i = semi + 1 }
-            else { sb.append(c); i += 1 }
+            appendRef(cp); i = semi + 1
           } catch { case _: NumberFormatException => sb.append(c); i += 1 }
         } else if (body.startsWith("#")) {
           try {
             val cp = Integer.parseInt(body.substring(1))
-            if (Character.isValidCodePoint(cp)) { appendRef(cp); i = semi + 1 }
-            else { sb.append(c); i += 1 }
+            appendRef(cp); i = semi + 1
           } catch { case _: NumberFormatException => sb.append(c); i += 1 }
         } else namedEntities.get(body) match {
           case Some(rep) => sb.append(rep); i = semi + 1

@@ -240,6 +240,15 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
 
   override def commit(runId: Long, docCount: Long, sourceFingerprint: String): Unit = {
     import spark.implicits._
+    // the store is SINGLE-WRITER by design (like an Iceberg catalog without
+    // a lock service); this recheck turns the worst outcome of two racing
+    // drivers — both allocating the same run_id via nextRunId() and silently
+    // overwriting each other's extracted/lineage directories — into a loud
+    // failure at commit time (ADVICE r2)
+    if (allRunIds().contains(runId))
+      throw new IllegalStateException(
+        s"run_id=$runId is already committed under $outDir — concurrent writer? " +
+          "ParquetCheckpointStore assumes a single driver per outDir")
     Seq((runId, docCount, sourceFingerprint, java.time.Instant.now.toString))
       .toDF("run_id", "doc_count", "source_fingerprint", "committed_at")
       .write.mode(SaveMode.Append).parquet(path)

@@ -43,17 +43,14 @@ object ExtractPipeline {
         * the sampling pre-pass is skipped entirely */
       staticHotHosts: Option[Set[String]] = None)
 
-  /** host(url) — tolerant, never throws. */
-  val hostUdf = udf { (url: String) =>
-    if (url == null) ""
-    else {
-      val i = url.indexOf("://")
-      val start = if (i >= 0) i + 3 else 0
-      var end = start
-      while (end < url.length && url.charAt(end) != '/' && url.charAt(end) != '?' && url.charAt(end) != '#') end += 1
-      url.substring(start, end)
-    }
-  }
+  /** host(url) as a NATIVE column expression (`parse_url(url, 'HOST')`):
+    * stays inside whole-stage codegen for the exchange-key projection and
+    * the host aggregations (VERDICT r2 #5 — this was a ScalaUDF). parse_url
+    * nulls malformed/scheme-less urls; the coalesce groups those under ""
+    * (they are extraction failures anyway, and an exchange key must be
+    * non-null). */
+  def hostCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(parse_url(url, lit("HOST")), lit(""))
 
   /** Kernel input row — public: Spark codegen instantiates it. */
   final case class PageIn(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte], lang: String)
@@ -88,7 +85,7 @@ object ExtractPipeline {
               else spark.sessionState.conf.numShufflePartitions
       val hot = cfg.staticHotHosts.getOrElse(hotHosts(spark, pruned, cfg, p))
       extracted.toDF()
-        .withColumn("host", hostUdf(col("url")))
+        .withColumn("host", hostCol(col("url")))
         .withColumn("salt",
           when(col("host").isInCollection(hot.toSeq.sorted),
             pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
@@ -106,7 +103,7 @@ object ExtractPipeline {
     if (cfg.hotHostFraction >= 1.0) return Set.empty
     val sample = pages.select("url").sample(withReplacement = false, cfg.sampleFraction, seed = 42)
       .limit(cfg.maxSampleRows)
-    val counts = sample.select(hostUdf(col("url")).as("host"))
+    val counts = sample.select(hostCol(col("url")).as("host"))
       .groupBy("host").count()
       .collect()
     val total = counts.map(_.getLong(1)).sum.toDouble

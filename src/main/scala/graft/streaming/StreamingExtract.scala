@@ -102,7 +102,7 @@ object StreamingExtract {
     import org.apache.spark.sql.streaming.GroupState
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
     pages
-      .withColumn("host", ExtractPipeline.hostUdf(col("url")))
+      .withColumn("host", ExtractPipeline.hostCol(col("url")))
       .select(col("host").as[String], length(col("html")).cast("long").as[Long])
       .groupByKey(_._1)
       .mapGroupsWithState[HostState, HostState](
@@ -125,7 +125,7 @@ object StreamingExtract {
   def metricsStream(spark: SparkSession, inDir: String): DataFrame = {
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
     pages
-      .withColumn("host", ExtractPipeline.hostUdf(col("url")))
+      .withColumn("host", ExtractPipeline.hostCol(col("url")))
       .withWatermark("warc_ts", "30 seconds")
       .groupBy(window(col("warc_ts"), "1 minute"), col("host"))
       .agg(count(lit(1)).as("docs"), sum(length(col("html"))).as("bytes"))

@@ -7,13 +7,21 @@ import org.apache.spark.sql.functions.col
 /** Child-JVM entry for one scaling measurement: a fresh heap per
   * parallelism level so GC debt from one measurement cannot bias the next
   * (the local-mode stand-in for "separate cluster runs").
-  * Prints exactly one line: `RATE <docs/sec>`. */
+  *
+  * Prints exactly one line: `RATE <docs/sec> EFFCORES <cpu-cores-used>`.
+  * EFFCORES = process-CPU-seconds / wall-seconds of the best rep — on an
+  * idle box it approaches the requested core count; far below it means the
+  * measurement ran on a contended host (the parent uses this to diagnose
+  * and re-run degraded pairs, VERDICT r2 #1).
+  */
 object ScalingChild {
   def main(args: Array[String]): Unit = {
-    val (Array(cpusS, corpusDir, nS, warmupS), mode) =
-      if (args.length > 4) (args.take(4), args(4)) else (args, "full")
-    val cpus = cpusS.toInt
-    val n = nS.toLong
+    val cpus = args(0).toInt
+    val corpusDir = args(1)
+    val n = args(2).toLong
+    val warmup = args(3).toLong
+    val mode = if (args.length > 4) args(4) else "full"
+    val reps = if (args.length > 5) args(5).toInt else 2
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -40,7 +48,7 @@ object ScalingChild {
             org.apache.spark.sql.functions.length(col("html")))).collect()
         case "exchangeonly" =>
           import org.apache.spark.sql.functions._
-          pages.withColumn("host", ExtractPipeline.hostUdf(col("url")))
+          pages.withColumn("host", ExtractPipeline.hostCol(col("url")))
             .repartition(cpus * 4, col("host"))
             .select(sum(length(col("html")))).collect()
         case _ =>
@@ -48,7 +56,7 @@ object ScalingChild {
             .toDF().filter(col("failure") === "ok").count()
       }
       // JIT warm-up (not timed)
-      ExtractPipeline.extract(spark, pages.limit(warmupS.toInt), cfg)
+      ExtractPipeline.extract(spark, pages.limit(warmup.toInt), cfg)
         .toDF().filter(col("failure") === "ok").count()
       def gcMillis: Long = {
         var t = 0L
@@ -56,17 +64,26 @@ object ScalingChild {
           .forEach(b => t += math.max(0L, b.getCollectionTime))
         t
       }
-      // best of 3 timed reps: noise (GC, neighbors) is one-sided slow
-      val rates = (1 to 3).map { _ =>
+      def cpuNanos: Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+          case _ => -1L
+        }
+      // best of `reps` timed laps: noise (GC, neighbors) is one-sided slow
+      val laps = (1 to reps).map { _ =>
         val g0 = gcMillis
+        val c0 = cpuNanos
         val t0 = System.nanoTime()
         job()
         val secs = (System.nanoTime() - t0) / 1e9
         val r = n / secs
-        System.err.println(f"rep: ${r}%.0f docs/s  wall=$secs%.1f s  gc=${(gcMillis - g0) / 1000.0}%.1f s")
-        r
+        val eff = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9 / secs
+        System.err.println(
+          f"rep: ${r}%.0f docs/s  wall=$secs%.1f s  gc=${(gcMillis - g0) / 1000.0}%.1f s  effcores=$eff%.1f")
+        (r, eff)
       }
-      println(f"RATE ${rates.max}%.1f")
+      val best = laps.maxBy(_._1)
+      println(f"RATE ${best._1}%.1f EFFCORES ${best._2}%.2f")
     } finally spark.stop()
   }
 }

@@ -33,8 +33,14 @@ import scala.collection.mutable
   */
 object AnswerKeys {
 
-  /** Where Verify writes the keys; oracleSql embeds this ABSOLUTE path. */
-  val auxDir = "/root/repo/target/verify_aux"
+  /** Where Verify writes the keys; oracleSql embeds this ABSOLUTE path.
+    * Resolved at runtime from the working directory (ADVICE r2: the
+    * hardcoded /root/repo path silently broke any other checkout), and
+    * overridable via -Dgraft.verify.auxDir — [[graft.Verify]] sets it
+    * per scale factor so concurrent verifies at different sf never
+    * clobber each other's keys. */
+  def auxDir: String = sys.props.getOrElse("graft.verify.auxDir",
+    new java.io.File("target/verify_aux").getAbsolutePath)
 
   // ---------- exact mirrors of Spark-native scalar arithmetic ----------
 
@@ -114,6 +120,146 @@ object AnswerKeys {
     val sna = math.sqrt(na)
     val snb = math.sqrt(nb)
     if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+  }
+
+  // ---------- independent re-derivations of the scalar kernels -----------
+  // (VERDICT r2 #4: x6/x7/x9/x20 previously called the SAME kernel function
+  // the query calls, verifying only Spark plumbing. These are second
+  // implementations of the same specs, deliberately structured differently
+  // — per-window recompute instead of a rolling hash, a hand-rolled
+  // alternation scanner instead of java.util.regex, builder-based
+  // tokenization instead of index scanning — so a bug in a kernel's
+  // optimized path cannot reproduce itself here. Bit-equivalence on
+  // adversarial inputs is additionally pinned in MirrorIndependenceSpec.)
+
+  /** MurmurHash3 64-bit finalizer (public constants; used by both sides as
+    * the avalanche step — the SPEC, not shared code). */
+  private def mix64(v: Long): Long = {
+    val a = (v ^ (v >>> 33)) * 0xFF51AFD7ED558CCDL
+    val b = (a ^ (a >>> 33)) * 0xC4CEB9FE1A85EC53L
+    b ^ (b >>> 33)
+  }
+
+  /** SimHash spec: whitespace tokens (Character.isWhitespace), per-token
+    * polynomial hash (base 1000003 over UTF-16 units) finalized with mix64,
+    * per-bit +-1 voting, bit set iff votes > 0. Tokenized via a builder
+    * (the kernel scans indices). */
+  def simhashMirror(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    val tok = new java.lang.StringBuilder
+    def flush(): Unit = if (tok.length > 0) {
+      var h = 0L
+      (0 until tok.length).foreach(i => h = h * 1000003L + tok.charAt(i))
+      val th = mix64(h)
+      (0 until 64).foreach(b =>
+        if (((th >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1)
+      tok.setLength(0)
+    }
+    text.foreach(ch => if (Character.isWhitespace(ch)) flush() else { tok.append(ch); () })
+    flush()
+    (0 until 64).foldLeft(0L)((sig, b) => if (votes(b) > 0) sig | (1L << b) else sig)
+  }
+
+  /** Fingerprint spec: min over all 8-char windows of mix64(polynomial
+    * hash, base 1000003); shorter texts fall back to the JLS 31-hash. Each
+    * window is recomputed from scratch (the kernel rolls). */
+  def fingerprintMirror(text: String): Long = {
+    if (text == null) return 0L
+    if (text.length < 8) return text.foldLeft(0)((h, c) => 31 * h + c).toLong
+    (0 to text.length - 8).foldLeft(Long.MaxValue) { (min, i) =>
+      var h = 0L
+      (i until i + 8).foreach(j => h = h * 1000003L + text.charAt(j))
+      math.min(min, mix64(h))
+    }
+  }
+
+  /** Language-ID spec: script voting over the first 2000 UTF-16 units
+    * (letters only; CJK/Hebrew/Arabic/Cyrillic ranges, majority = 2x),
+    * then first-strictly-better stopword-profile voting with a 5% floor. */
+  def langIdMirror(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val head = text.substring(0, math.min(text.length, 2000))
+    val letters = head.filter(Character.isLetter)
+    if (letters.isEmpty) return "und"
+    def inRange(lo: Int, hi: Int) = letters.count(c => c >= lo && c <= hi)
+    val cjk = inRange(0x4E00, 0x9FFF) + inRange(0x3040, 0x30FF)
+    val script =
+      if (cjk * 2 > letters.length) "zh"
+      else if (inRange(0x0590, 0x05FF) * 2 > letters.length) "he"
+      else if (inRange(0x0600, 0x06FF) * 2 > letters.length) "ar"
+      else if (inRange(0x0400, 0x04FF) * 2 > letters.length) "ru"
+      else ""
+    if (script.nonEmpty) return script
+    val tokens = head.toLowerCase.split("\\s+")
+    val mirrorProfiles: Seq[(String, Set[String])] = Seq(
+      "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "this"),
+      "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"),
+      "fr" -> Set("le", "la", "les", "de", "et", "est", "un", "une", "que", "pour", "dans", "qui"),
+      "es" -> Set("el", "la", "los", "las", "de", "y", "es", "un", "una", "que", "por", "con"),
+      "it" -> Set("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono", "con", "del"))
+    val (best, bestHits) = mirrorProfiles.foldLeft(("und", 0)) {
+      case ((b, bh), (lang, words)) =>
+        val hits = tokens.count(words)
+        if (hits > bh) (lang, hits) else (b, bh)
+    }
+    if (bestHits * 20 >= tokens.length) best else "und"
+  }
+
+  /** BPE pre-tokenization spec (TextAnalysis.bpePattern), as a hand-rolled
+    * leftmost-first alternation scanner instead of java.util.regex:
+    * contraction | optional-space letter run | optional-space number run |
+    * optional-space other run, over code points, ASCII \s, greedy runs,
+    * failed positions advance one code point. */
+  def bpeTokenCountMirror(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val n = text.length
+    def isAsciiWs(cp: Int) =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+    def isL(cp: Int) = Character.isLetter(cp)
+    def isN(cp: Int) = {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+    def cpAt(i: Int) = text.codePointAt(i)
+    def runEnd(start: Int, p: Int => Boolean): Int = {
+      var i = start
+      while (i < n && p(cpAt(i))) i += Character.charCount(cpAt(i))
+      i
+    }
+    // returns end of match at position i, or -1
+    def matchAt(i: Int): Int = {
+      // '(?:s|t|re|ve|m|ll|d) — alternation is leftmost-first, not longest
+      if (text.charAt(i) == '\'') {
+        val rest = text.substring(i + 1, math.min(n, i + 3))
+        val suffix = Seq("s", "t", "re", "ve", "m", "ll", "d").find(rest.startsWith)
+        if (suffix.isDefined) return i + 1 + suffix.get.length
+      }
+      // " ?"-prefixed greedy runs; a matched space needs a non-empty run after
+      val afterSpace = if (text.charAt(i) == ' ') i + 1 else i
+      if (afterSpace < n) {
+        val cp = cpAt(afterSpace)
+        val end =
+          if (isL(cp)) runEnd(afterSpace, isL)
+          else if (isN(cp)) runEnd(afterSpace, isN)
+          else if (!isAsciiWs(cp)) runEnd(afterSpace, c => !isAsciiWs(c) && !isL(c) && !isN(c))
+          else afterSpace
+        if (end > afterSpace) return end
+      }
+      // bare-run retry without the optional space (regex ` ?X+` backtracks
+      // the space only if X+ then fails — it cannot, runs are greedy and
+      // non-empty — so no retry is ever needed; -1 = no match here)
+      -1
+    }
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val end = matchAt(i)
+      if (end > i) { count += 1; i = end }
+      else i += Character.charCount(cpAt(i))
+    }
+    count
   }
 
   // ---------- single-node re-implementations of the distributed ops ------
@@ -273,7 +419,7 @@ object AnswerKeys {
         .map { case (a, b, j) => KPair(a, b, j) }.toDS().toDF())
 
     write("x18_simhash_pairs", {
-      val sigs = dd.map { case (id, t) => (id, Dedup.simhashKernel(t)) }
+      val sigs = dd.map { case (id, t) => (id, simhashMirror(t)) }
       val byChunk = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Int]]()
       sigs.zipWithIndex.foreach { case ((_, sig), idx) =>
         var c = 0
@@ -304,10 +450,10 @@ object AnswerKeys {
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents
-    write("x6_simhash", dd.map { case (id, t) => K6(id, Dedup.simhashKernel(t)) }.toSeq.toDS().toDF())
-    write("x7_langid", dd.map { case (id, t) => K7(id, TextAnalysis.langIdKernel(t)) }.toSeq.toDS().toDF())
+    write("x6_simhash", dd.map { case (id, t) => K6(id, simhashMirror(t)) }.toSeq.toDS().toDF())
+    write("x7_langid", dd.map { case (id, t) => K7(id, langIdMirror(t)) }.toSeq.toDS().toDF())
     write("x8_quality", dd.map { case (id, t) => K8(id, quality(t)) }.toSeq.toDS().toDF())
-    write("x9_fingerprint", dd.map { case (id, t) => K9(id, TextAnalysis.fingerprintKernel(t)) }.toSeq.toDS().toDF())
+    write("x9_fingerprint", dd.map { case (id, t) => K9(id, fingerprintMirror(t)) }.toSeq.toDS().toDF())
 
     // x14: bounded dictionary + SpellRepair, mirrored end to end
     write("x14_spell_repair", {
@@ -408,7 +554,7 @@ object AnswerKeys {
         }.sortBy(_.media_id).toDS().toDF())
 
     write("x20_bpe_tokens",
-      dd.map { case (id, t) => K20(id, TextAnalysis.bpeTokenCountKernel(t)) }
+      dd.map { case (id, t) => K20(id, bpeTokenCountMirror(t)) }
         .toSeq.toDS().toDF())
 
     write("x13_video_frames", media.filter(_.media_type == "video").flatMap { m =>

@@ -90,8 +90,13 @@ class HtmlTokenizerSpec extends AnyFunSuite {
     assert(decodeEntities("a&#55296;b") == "a\uFFFDb")   // U+D800 decimal
     assert(decodeEntities("a&#xD800;b") == "a\uFFFDb")
     assert(decodeEntities("a&#xDFFF;b") == "a\uFFFDb")
-    // above U+10FFFF is not a valid code point: literal passthrough (existing policy)
-    assert(decodeEntities("a&#x110000;b") == "a&#x110000;b")
+    // above U+10FFFF and NUL also map to U+FFFD (WHATWG 13.2.5.80; ADVICE r2
+    // — these previously fell through as literal text)
+    assert(decodeEntities("a&#x110000;b") == "a�b")
+    assert(decodeEntities("a&#0;b") == "a�b")
+    assert(decodeEntities("a&#x0;b") == "a�b")
+    // non-numeric garbage after &# is still literal passthrough
+    assert(decodeEntities("a&#zz;b") == "a&#zz;b")
     // astral-plane refs still decode to proper surrogate PAIRS
     assert(decodeEntities("a&#x1F600;b") == "a\uD83D\uDE00b")
   }

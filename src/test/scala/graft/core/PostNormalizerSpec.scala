@@ -124,6 +124,17 @@ class PostNormalizerSpec extends AnyFunSuite {
     }
   }
 
+  test("differential gold: hy-latin multi-line segment applies once-per-LINE rules per line") {
+    // ADVICE r2: Perl s/// without /g fires once per <STDIN> line; a
+    // multi-line segment must not under-apply. Gold is the literal output
+    // of the actual armenian.transcribe.pl on these two lines — note the
+    // second line's digraph rules fire again (a per-segment replaceFirst
+    // would have spent them on line one).
+    val in = "\u0576\u0578\u0582 \u0578\u0579 \u0565\u0578\n\u0578\u0582\u0582 \u0561\u0578 \u0565\u0565"
+    val gold = "nu vot\u0283\u02B0 j\u025Bo\nuv \u0251o j\u025B\u025B"
+    assert(PostNormalizer.apply(in, "hy-latin") == gold)
+  }
+
   test("differential gold: yi-utf8 reproduces fixutf8.pl byte-for-byte") {
     // gold strings are the literal output of the reference fixutf8.pl
     Seq(

@@ -44,4 +44,67 @@ class SpellRepairSpec extends AnyFunSuite {
     assert(SpellRepair.rejoinHyphenation("foo-\nbar", dict) == "foo-\nbar")
     assert(SpellRepair.rejoinHyphenation("no hyphens here", dict) == "no hyphens here")
   }
+
+  // --- differential gold vs the ACTUAL reference fixspell.pl ---------------
+  // The gold string below is the literal byte output of running
+  // /root/reference/fixspell.pl (perl 5, utf8; $spellFile redirected to the
+  // same synthetic ok-word list) on the input. The probe exercises every
+  // correction of the verbatim table (SpellRepair.yiddishCorrections), the
+  // rule ORDER (patah tried before qamats), fix stacking via fixit's
+  // where+1 recursion, the (?=\P{M}) lookahead — including its subtle
+  // consequence that a WORD-FINAL alef can never be fixed (lookahead needs
+  // a following char), so "mama" stays broken — the maqaf line-end rejoin,
+  // the %corrected cache path, and the dropped EOF remainder.
+  private val yiOk = Set(
+    "\u05D4\u05F2\u05B7\u05E0\u05D8", // haynt    (rule 1: double-yod + patah)
+    "\u05EA\u05BC\u05D5\u05E8\u05D4", // toyre    (rule 2: tav + dagesh)
+    "\u05DB\u05BC\u05DC\u05DC", // klal     (rule 3: kaf + dagesh)
+    "\u05D1\u05BF\u05DC\u05D5\u05DD", // blum     (rule 4: vet + rafe)
+    "\u05D9\u05B4\u05E2\u05E7\u05D1", // yekv     (rule 5: yod-ayin + hiriq)
+    "\u05DE\u05E2\u05D9\u05B4\u05DF", // meyn     (rule 6: ayin-yod + hiriq)
+    "\u05DE\u05D0\u05B7\u05DF", // man      (rule 7: alef + patah)
+    "\u05D9\u05D0\u05B8\u05E8", // yor      (rule 8: alef + qamats)
+    "\u05E9\u05C2\u05DE\u05D7\u05D4", // simkhe   (rule 9: shin + sin dot)
+    "\u05D1\u05D0\u05B7\u05E0\u05D3", // ordering: patah candidate wins...
+    "\u05D1\u05D0\u05B8\u05E0\u05D3", // ...over this equally-ok qamats one
+    "\u05D2\u05D0\u05B8\u05D8", // got: patah cand NOT ok -> qamats
+    "\u05DE\u05D0\u05B7\u05DE\u05D0\u05B7", // mama (UNREACHABLE: final alef)
+    "\u05DE\u05D0\u05B7\u05DF\u05D8\u05D0\u05B8\u05D2") // man+tog (rejoin + stacking)
+
+  test("differential gold: FixspellRepair reproduces fixspell.pl byte-for-byte") {
+    import graft.core.assemble.FixspellRepair
+    val in1 =
+      "\u05D4\u05F2\u05E0\u05D8 \u05EA\u05D5\u05E8\u05D4 \u05DB\u05DC\u05DC\n" +
+      "\u05D1\u05DC\u05D5\u05DD \u05D9\u05E2\u05E7\u05D1 \u05DE\u05E2\u05D9\u05DF\n" +
+      "\u05DE\u05D0\u05DF, \u05D9\u05D0\u05E8! \u05E9\u05DE\u05D7\u05D4\n" +
+      "\u05D1\u05D0\u05E0\u05D3 \u05D2\u05D0\u05D8 \u05DE\u05D0\u05DE\u05D0\n" +
+      "\u05DE\u05D0\u05B7\u05E8\u05E1 xyz 123\n" +
+      "\u05D3\u05E2\u05E8 \u05DE\u05D0\u05DF\u05BE\n" +
+      "\u05D8\u05D0\u05D2 \u05DE\u05D0\u05DF\n" +
+      "\u05DE\u05D0\u05DF \u05DE\u05D0\u05DF\n" +
+      "\u05D0\u05D1\u05D2\u05BE\n"
+    val gold =
+      "\u05D4\u05F2\u05B7\u05E0\u05D8 \u05EA\u05BC\u05D5\u05E8\u05D4 \u05DB\u05BC\u05DC\u05DC\n" +
+      "\u05D1\u05BF\u05DC\u05D5\u05DD \u05D9\u05B4\u05E2\u05E7\u05D1 \u05DE\u05E2\u05D9\u05B4\u05DF\n" +
+      "\u05DE\u05D0\u05B7\u05DF, \u05D9\u05D0\u05B8\u05E8! \u05E9\u05C2\u05DE\u05D7\u05D4\n" +
+      "\u05D1\u05D0\u05B7\u05E0\u05D3 \u05D2\u05D0\u05B8\u05D8 \u05DE\u05D0\u05DE\u05D0\n" +
+      "\u05DE\u05D0\u05B7\u05E8\u05E1 xyz 123\n" +
+      "\u05D3\u05E2\u05E8 \n" +
+      "\u05DE\u05D0\u05B7\u05DF\u05D8\u05D0\u05B8\u05D2 \u05DE\u05D0\u05B7\u05DF\n" +
+      "\u05DE\u05D0\u05B7\u05DF \u05DE\u05D0\u05B7\u05DF\n" +
+      "\n"
+    val r = new FixspellRepair(yiOk)
+    assert(r.correctText(in1) == gold)
+    // idempotence: repaired text is all ok words / unfixable parts
+    assert(r.correctText(gold) == gold)
+  }
+
+  test("fixit: word-final alef is unfixable (lookahead needs a following char)") {
+    import graft.core.assemble.FixspellRepair
+    val r = new FixspellRepair(yiOk)
+    // mama: both alefs need marks, but the second is word-final
+    assert(r.fixWord("\u05DE\u05D0\u05DE\u05D0") == "\u05DE\u05D0\u05DE\u05D0")
+    // man: single non-final alef fixes
+    assert(r.fixWord("\u05DE\u05D0\u05DF") == "\u05DE\u05D0\u05B7\u05DF")
+  }
 }

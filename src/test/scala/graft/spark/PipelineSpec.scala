@@ -40,6 +40,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).length == 1, s"expected 1 exchange:\n$plan")
     assert(plan.contains("hashpartitioning(host"))
+    // the plan is UDF-free up to the kernel boundary: host derivation is
+    // native parse_url (VERDICT r2 #5), so the only non-codegen operator is
+    // the MapPartitions kernel itself
+    assert(!plan.contains("UDF"), s"ScalaUDF leaked into the extraction plan:\n$plan")
+    assert(plan.contains("ParseUrlEvaluator") || plan.contains("parse_url"),
+      s"expected native parse_url host key:\n$plan")
   }
 
   test("run + resume: second run over a superset processes only new urls") {
