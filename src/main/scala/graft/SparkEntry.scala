@@ -361,6 +361,34 @@ object SparkEntry {
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    "x22_block_features" -> ((s, d) => {
+      // per-block classifier feature dump (S9 `-T` parity): kept blocks
+      // with their features, ordinal-aligned to the GENERATION-TIME truth
+      // (FixtureGen records each truth block's label/words/linkWords)
+      val n = math.min(Corpus.docsForSf(d), 2000L)
+      val w = Window.partitionBy(col("url")).orderBy(col("block_id"))
+      ExtractPipeline.diagnostics(s, Corpus.pages(s, n)).toDF()
+        .filter(col("kept"))
+        .withColumn("kept_seq", row_number().over(w))
+        .select(col("url"), col("kept_seq"), col("label"),
+          col("words"), col("link_words"))
+        .orderBy("url", "kept_seq")
+    }),
+    "x23_fixspell" -> ((s, d) => {
+      // distributed fixspell.pl-verbatim repair (P2, yi profile): broadcast
+      // ok-word list, ONE FixspellRepair per partition (memo survives
+      // rows), over a deterministic corrupted-Yiddish corpus whose expected
+      // output is GENERATION-TIME truth (every pair Perl-verified —
+      // graft.fixtures.FixspellCorpus)
+      import graft.fixtures.FixspellCorpus
+      val n = Corpus.docsForSf(d)
+      val bc = s.sparkContext.broadcast(FixspellCorpus.okWords)
+      import s.implicits._
+      s.range(n).as[Long].mapPartitions { it =>
+        val repairer = new graft.core.assemble.FixspellRepair(bc.value)
+        it.map(i => (i, repairer.correctText(FixspellCorpus.lineAt(42L, i)._1)))
+      }.toDF("line_id", "repaired").orderBy("line_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -479,6 +507,9 @@ object SparkEntry {
     "x19_media_resize" -> aux("x19_media_resize", "media_id, n_bytes, md5", "media_id"),
     "x20_bpe_tokens" -> aux("x20_bpe_tokens", "doc_id, bpe_tokens", "doc_id"),
     "x21_host_stats" -> aux("x21_host_stats", "host, docs, n_ok, chars_out", "host"),
+    "x22_block_features" -> aux("x22_block_features",
+      "url, kept_seq, label, words, link_words", "url, kept_seq"),
+    "x23_fixspell" -> aux("x23_fixspell", "line_id, repaired", "line_id"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -71,6 +71,39 @@ final class Extractor(
   }
 
   def extract(page: PageRow): ExtractedRow = extract(page.url, page.html, page.lang)
+
+  /** Per-block classifier diagnostics (S9 `-T` parity, main/kd.c:225-235):
+    * one [[BlockDiag]] per CANDIDATE block of the HTML branch, in document
+    * order, labeled with the classifier's decision ("dropped" when not
+    * kept). Non-HTML payloads (PDF/garbage/empty/oversize) yield no rows —
+    * the feature dump is a classifier-debugging surface and the PDF branch
+    * has no classifier. Same gating as [[extract]]; parse errors yield
+    * no rows rather than throwing. */
+  def diagnostics(url: String, bytes: Array[Byte], lang: String): Seq[BlockDiag] = {
+    if (bytes == null || bytes.length == 0 || bytes.length > cfg.maxPayloadBytes ||
+        Extractor.isPdf(bytes) || !Extractor.looksLikeHtml(bytes)) return Nil
+    try {
+      val decoded = Extractor.decode(bytes)
+      val blocks = BlockSegmenter.segmentDirect(
+        decoded, cfg.fissionMinLinkRun, cfg.fissionMinTextWords, cfg.maxTokens)
+      val kept = classifier.classify(blocks, cfg)
+      // classify returns the SAME instances in document order — a single
+      // forward walk labels every candidate by reference identity
+      var k = 0
+      val out = Vector.newBuilder[BlockDiag]
+      var i = 0
+      while (i < blocks.length) {
+        val b = blocks(i)
+        val label =
+          if (k < kept.length && (kept(k)._1 eq b)) { val l = kept(k)._2; k += 1; l }
+          else null
+        out += BlockDiag(url, i, if (label == null) "dropped" else label,
+          label != null, b.words, b.linkWords, b.tagPath, b.depth)
+        i += 1
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
 }
 
 object Extractor {

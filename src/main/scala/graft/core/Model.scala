@@ -40,6 +40,20 @@ final case class ExtractedRow(
     n_bytes_in: Long,
     lang: String)
 
+/** Per-block classifier diagnostics row — the S9 `-T` feature-dump parity
+  * surface (reference main/kd.c:225-235: per-glyph `(features, label)`
+  * rows for classifier debugging). One row per CANDIDATE block, kept or
+  * dropped, with the exact feature tuple the classifier saw. */
+final case class BlockDiag(
+    url: String,
+    block_id: Int, // candidate index in document order
+    label: String, // content/heading/list, or "dropped"
+    kept: Boolean,
+    words: Int,
+    link_words: Int,
+    tag_path: String,
+    depth: Int)
+
 /** Kind labels for spans/blocks. */
 object BlockKind {
   val Content = "content"

@@ -27,7 +27,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object FixtureGen {
 
-  final case class Expected(text: String, spans: Vector[Span], failure: String)
+  /** Generation-time truth for one KEPT block: its label, whitespace word
+    * count, and how many of those words the generator wrapped in an <a>
+    * (the classifier-feature answer key for the S9 `-T` diagnostics
+    * surface, reference main/kd.c:225-235). */
+  final case class ExpectedBlock(label: String, words: Int, linkWords: Int)
+
+  final case class Expected(text: String, spans: Vector[Span], failure: String,
+      blocks: Vector[ExpectedBlock] = Vector.empty)
   final case class Fixture(
       url: String,
       warc_ts: java.sql.Timestamp,
@@ -153,12 +160,18 @@ object FixtureGen {
     val lang = if (rtl) "he" else (if (rng.nextInt(10) == 0) "de" else "en")
     val wl = if (rtl) hebrewWords else words
     val truth = new ArrayBuffer[(String, String)] // (normalized+bidi text, kind)
+    val truthBlocks = new ArrayBuffer[ExpectedBlock]
     val body = new java.lang.StringBuilder
 
-    def addTruth(raw: String, kind: String): Unit = {
+    def addTruth(raw: String, kind: String, linkWords: Int = 0): Unit = {
       val norm = TextAssembler.normalizeBlock(raw)
       val vis = if (rtl) TextAssembler.bidiVisual(norm, rtlBase = true) else norm
-      if (vis.nonEmpty) truth += ((vis, kind))
+      if (vis.nonEmpty) {
+        truth += ((vis, kind))
+        // word count is invariant under normalization and BiDi reordering,
+        // so the generator's count IS the classifier's feature value
+        truthBlocks += ExpectedBlock(kind, vis.split(" ").length, linkWords)
+      }
     }
 
     body.append("<header id=\"masthead\"><h1><a href=\"/\">Site ")
@@ -181,7 +194,7 @@ object FixtureGen {
       val links = if (rng.nextInt(3) == 0) 1 + rng.nextInt(2) else 0
       val (pt, ph) = sentence(rng, nw, links, wl)
       body.append("<p>").append(ph).append("</p>")
-      addTruth(pt, "content")
+      addTruth(pt, "content", linkWords = links)
       if (p < nParas - 1 && rng.nextInt(4) == 0) {
         val (st, sh) = sentence(rng, 3 + rng.nextInt(5), 0, wl) // 3..7 words, no links → fusion
         body.append("<p>").append(sh).append("</p>")
@@ -223,6 +236,7 @@ object FixtureGen {
       "<style>.a { color: red; }</style></head><body>" + body + "</body></html>"
     val (text, spans) = TextAssembler.assemble(truth.toVector)
     val failure = if (text.isEmpty) Failure.Empty else Failure.Ok
+    val expectedBlocks = truthBlocks.toVector
     // serialization variant (tail draw — perturbs no content RNG): ~1/6 of
     // encodable non-RTL pages ship as declared windows-1252, putting the
     // cp1252 decode path on the corpus-wide byte-identity gate. Truth is
@@ -232,7 +246,7 @@ object FixtureGen {
       if (rng.nextInt(6) == 0 && !rtl && cp1252.newEncoder().canEncode(doc))
         doc.replace("charset=\"utf-8\"", "charset=\"windows-1252\"").getBytes(cp1252)
       else doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    Fixture(url, ts, bytes, null, lang, Expected(text, spans, failure))
+    Fixture(url, ts, bytes, null, lang, Expected(text, spans, failure, expectedBlocks))
   }
 
   /** HTML page with ONLY chrome — expected `empty`. */

@@ -96,6 +96,24 @@ object ExtractPipeline {
     }
   }
 
+  /** Opt-in per-block diagnostics (S9 `-T` parity): one row per candidate
+    * block with the classifier's feature tuple and decision. Narrow plan —
+    * scan → kernel flatMap; no exchange (a debugging surface is filtered/
+    * aggregated downstream, and Catalyst pushes those into the scan). */
+  def diagnostics(
+      spark: SparkSession, pages: DataFrame,
+      cfg: PipelineConfig = PipelineConfig()): Dataset[graft.core.BlockDiag] = {
+    import spark.implicits._
+    val pruned = pages.select(
+      col("url"), col("warc_ts"), col("html"),
+      coalesce(col("lang"), lit("")).as("lang"))
+    val extractorCfg = cfg.extractor
+    pruned.as[PageIn].mapPartitions { it =>
+      val extractor = new Extractor(extractorCfg)
+      it.flatMap(p => extractor.diagnostics(p.url, p.html, p.lang))
+    }
+  }
+
   /** Estimate hot hosts from a bounded sample (NEVER a full scan of html —
     * only the url column is touched, so the parquet reader prunes to one
     * column; at 100 TB this reads only url chunks of a 1% sample). */

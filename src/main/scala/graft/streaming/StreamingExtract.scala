@@ -33,6 +33,24 @@ object StreamingExtract {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
+  /** Hot-host parity with the batch path (VERDICT r2 #9): a stream cannot
+    * run the sampling pre-pass per micro-batch, but an AvailableNow drain
+    * CAN derive the hot list ONCE per drain from a bounded BATCH sample of
+    * the same input directory (url column only — pruned, sampled, capped
+    * exactly like the batch job). A static list still wins when provided;
+    * with repartitioning explicitly off, nothing is derived. */
+  private def withDerivedHotHosts(
+      spark: SparkSession, inDir: String,
+      cfg: ExtractPipeline.PipelineConfig): ExtractPipeline.PipelineConfig =
+    if (cfg.staticHotHosts.isDefined || !cfg.repartitionByHost) cfg
+    else {
+      val batch = spark.read.schema(pageSchema).parquet(inDir)
+      val p = if (cfg.numPartitions > 0) cfg.numPartitions
+              else spark.sessionState.conf.numShufflePartitions
+      cfg.copy(staticHotHosts =
+        Some(ExtractPipeline.hotHosts(spark, batch, cfg, p)))
+    }
+
   /** Drain all currently-available input files through the kernel into an
     * exactly-once parquet sink; returns the started query (AvailableNow —
     * it self-terminates). */
@@ -43,9 +61,7 @@ object StreamingExtract {
       checkpointDir: String,
       cfg: ExtractPipeline.PipelineConfig = ExtractPipeline.PipelineConfig()): StreamingQuery = {
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
-    // no sampling pre-pass on a stream: hot hosts must be static here
-    val streamCfg =
-      if (cfg.staticHotHosts.isDefined) cfg else cfg.copy(repartitionByHost = false)
+    val streamCfg = withDerivedHotHosts(spark, inDir, cfg)
     val extracted = ExtractPipeline.extract(spark, pages, streamCfg)
     extracted.writeStream
       .format("parquet")
@@ -73,8 +89,7 @@ object StreamingExtract {
       checkpointDir: String,
       cfg: ExtractPipeline.PipelineConfig = ExtractPipeline.PipelineConfig()): StreamingQuery = {
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
-    val streamCfg =
-      if (cfg.staticHotHosts.isDefined) cfg else cfg.copy(repartitionByHost = false)
+    val streamCfg = withDerivedHotHosts(spark, inDir, cfg)
     val extracted = ExtractPipeline.extract(spark, pages, streamCfg)
     extracted.writeStream
       .option("checkpointLocation", checkpointDir)

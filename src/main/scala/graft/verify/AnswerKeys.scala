@@ -354,6 +354,8 @@ object AnswerKeys {
   final case class K19(media_id: Long, n_bytes: Int, md5: String)
   final case class K20(doc_id: Long, bpe_tokens: Int)
   final case class K21(host: String, docs: Long, n_ok: Long, chars_out: Long)
+  final case class K22(url: String, kept_seq: Int, label: String, words: Int, link_words: Int)
+  final case class K23(line_id: Long, repaired: String)
 
   // ---------- inputs ------------------------------------------------------
 
@@ -410,6 +412,21 @@ object AnswerKeys {
         fs.count(_.expected.failure == "ok").toLong,
         fs.map(_.expected.text.length.toLong).sum)
     }.toSeq.sortBy(_.host).toDS().toDF())
+
+    // x22: per-block classifier features vs GENERATION-TIME truth —
+    // FixtureGen records each truth block's (label, words, linkWords) as it
+    // composes the page; the engine's kept blocks must align ordinally
+    write("x22_block_features", fx2k.flatMap(f =>
+      f.expected.blocks.zipWithIndex.map { case (b, i) =>
+        K22(f.url, i + 1, b.label, b.words, b.linkWords)
+      }).sortBy(k => (k.url, k.kept_seq)).toDS().toDF())
+
+    // x23: distributed fixspell vs GENERATION-TIME truth — the expected
+    // line is COMPOSED from FixspellCorpus's Perl-verified pair table,
+    // never computed by running the repairer
+    write("x23_fixspell", (0L until n).map { i =>
+      K23(i, graft.fixtures.FixspellCorpus.lineAt(42L, i)._2)
+    }.toDS().toDF())
 
     // x5/x18: near-dup pairs over documents — single-node banding
     val dd = docs(spark, d)

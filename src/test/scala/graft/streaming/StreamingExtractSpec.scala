@@ -131,4 +131,21 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lin2.agg(sum("doc_count")).first.getLong(0) == 300)
     assert(spark.read.parquet(s"$out/extracted").select("url").distinct().count() == 300)
   }
+
+  test("streamed drain salts hot hosts like the batch path (derived per drain)") {
+    // VERDICT r2 #9: without a static hot list the drain derives one from a
+    // bounded batch sample of the input dir — hot.example.com (~30% of the
+    // corpus, >> the 5% threshold) must spread across partitions instead of
+    // landing on one
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_hot").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Corpus.pages(spark, 800).write.mode("append").parquet(in)
+    StreamingExtract.runWithLineage(spark, in, out, ckpt,
+      graft.spark.ExtractPipeline.PipelineConfig(
+        numPartitions = 8, sampleFraction = 1.0)).awaitTermination()
+    val parts = spark.read.parquet(s"$out/extracted")
+      .filter(col("url").contains("hot.example.com"))
+      .select("partition_id").distinct().count()
+    assert(parts >= 4, s"hot host landed on only $parts partitions — not salted")
+  }
 }
