@@ -21,7 +21,7 @@ object ScalingChild {
     val n = args(2).toLong
     val warmup = args(3).toLong
     val mode = if (args.length > 4) args(4) else "full"
-    val reps = if (args.length > 5) args(5).toInt else 2
+    val reps = if (args.length > 5) args(5).toInt else 3
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
