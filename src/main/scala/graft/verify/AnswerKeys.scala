@@ -21,11 +21,15 @@ import scala.collection.mutable
   *
   * Everything here is driver-side plain Scala: hash maps and loops stand in
   * for Spark's exchanges and joins, so a wrong shuffle/join/dedup in the
-  * distributed plan cannot reproduce itself in the key. Scalar kernels
-  * (simhash, minhash, LSH buckets, media codecs) are shared with the engine
-  * — they are pinned by their own unit specs; what this file re-derives
-  * independently is the DISTRIBUTED composition, plus exact mirrors of the
-  * Spark-native column arithmetic (quality score, cosine, round).
+  * distributed plan cannot reproduce itself in the key. Since round 3 the
+  * SCALAR kernels are independent too: simhash, fingerprint, langid, BPE
+  * count, shingles, minhash, band hashes, jaccard, and LSH buckets are all
+  * second implementations (the `*Mirror` section below — bit-equivalence
+  * vs the engine kernels pinned in MirrorIndependenceSpec), on top of the
+  * exact mirrors of the Spark-native column arithmetic (quality score,
+  * cosine, round). Still shared by design: the media codec stubs (the stub
+  * IS the spec) and the IVF quantizer (the trained model is the shared
+  * artifact; assignment/probing/scoring are mirrored).
   *
   * Scale note: keys are test artifacts for the sf0.01/sf0.1 correctness
   * gate — collect() here is deliberate and bounded; nothing in this file
@@ -262,6 +266,61 @@ object AnswerKeys {
     count
   }
 
+  /** Shingle-set spec: every k-char window hashed (base-1000003 polynomial
+    * over UTF-16 units, mix64-finalized), distinct, ascending. Each window
+    * is hashed from scratch (the kernel rolls). */
+  def shingleSetMirror(text: String, k: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    (0 to text.length - k).map { i =>
+      var h = 0L
+      (i until i + k).foreach(j => h = h * 1000003L + text.charAt(j))
+      mix64(h)
+    }.distinct.sorted.toArray
+  }
+
+  /** MinHash spec: slot i = min over shingles of mix64(x ^ GOLDEN*(i+1));
+    * empty shingle set → all Long.MaxValue. Per-slot scans (the kernel
+    * interleaves slots inside one shingle pass). */
+  def minhashMirror(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val sh = shingleSetMirror(text, k)
+    Array.tabulate(numHashes) { i =>
+      if (sh.isEmpty) Long.MaxValue
+      else sh.map(x => mix64(x ^ (0x9E3779B97F4A7C15L * (i + 1)))).min
+    }
+  }
+
+  /** Band-hash spec: fold mix64 over the band's rows from the FNV offset
+    * seed xor band index. */
+  def bandHashesMirror(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      (0 until rowsPerBand).foldLeft(0xCBF29CE484222325L ^ b.toLong)(
+        (h, r) => mix64(h ^ sig(b * rowsPerBand + r)))
+    }
+
+  /** Jaccard spec over shingle sets, via hash-set intersection (the kernel
+    * merges sorted arrays). */
+  def jaccardMirror(a: String, b: String, k: Int): Double = {
+    val sa = shingleSetMirror(a, k).toSet
+    val sb = shingleSetMirror(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else {
+      val inter = sa.count(sb)
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Random-hyperplane LSH bucket spec: per bit, in-order dot of the vector
+    * against mix64-derived plane values mapped to (-1,1); sign bit set when
+    * dot >= 0. Same accumulation order as the kernel (IEEE-sensitive). */
+  def lshBucketMirror(vec: Array[Float], nBits: Int, seed: Long): Int =
+    (0 until nBits).foldLeft(0) { (bucket, b) =>
+      val dot = vec.indices.foldLeft(0.0)((acc, d) =>
+        acc + vec(d) * (mix64(seed ^ (b * 0x9E3779B97F4A7C15L) ^
+          (d * 0xC2B2AE3D27D4EB4FL)).toDouble / Long.MaxValue.toDouble))
+      if (dot >= 0) bucket | (1 << b) else bucket
+    }
+
   // ---------- single-node re-implementations of the distributed ops ------
 
   /** MinHash LSH pairs, single-node: hash-map banding stands in for the
@@ -270,8 +329,8 @@ object AnswerKeys {
       docs: Seq[(T, String)], shingleK: Int, bands: Int, rowsPerBand: Int,
       threshold: Double)(implicit ord: Ordering[T]): Seq[(T, T, Double)] = {
     val sigs = docs.map { case (id, t) =>
-      (id, t, Dedup.bandHashes(
-        Dedup.minhashKernel(t, shingleK, bands * rowsPerBand), bands, rowsPerBand))
+      (id, t, bandHashesMirror(
+        minhashMirror(t, shingleK, bands * rowsPerBand), bands, rowsPerBand))
     }
     val buckets = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Int]]()
     sigs.zipWithIndex.foreach { case ((_, _, bh), idx) =>
@@ -300,7 +359,7 @@ object AnswerKeys {
     }
     cand.toSeq
       .map { case (i, j) =>
-        (sigs(i)._1, sigs(j)._1, Dedup.jaccardKernel(sigs(i)._2, sigs(j)._2, shingleK))
+        (sigs(i)._1, sigs(j)._1, jaccardMirror(sigs(i)._2, sigs(j)._2, shingleK))
       }
       .filter(_._3 >= threshold) // threshold on the RAW value (as the plan does)
       .map { case (a, b, j) => (a, b, round4(j)) } // round only the output
@@ -315,7 +374,7 @@ object AnswerKeys {
     vecs.foreach { case (id, v) =>
       var t = 0
       while (t < tables) {
-        val bucket = Similarity.lshBucketKernel(v.toSeq, nBits, 0x5EED0000L + t)
+        val bucket = lshBucketMirror(v, nBits, 0x5EED0000L + t)
         m.getOrElseUpdate((t, bucket), new mutable.ArrayBuffer[Long]) += id
         t += 1
       }

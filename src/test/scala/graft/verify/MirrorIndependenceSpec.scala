@@ -74,6 +74,46 @@ class MirrorIndependenceSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle/minhash/band/jaccard mirrors == Dedup kernels") {
+    all.foreach { s =>
+      assert(AnswerKeys.shingleSetMirror(s, 5).sameElements(Dedup.shingleSet(s, 5)),
+        s"shingles diverged on: ${s.take(60)}")
+      assert(AnswerKeys.minhashMirror(s, 5, 64).sameElements(Dedup.minhashKernel(s, 5, 64)),
+        s"minhash diverged on: ${s.take(60)}")
+    }
+    // band hashes over mirrored signatures
+    adversarial.foreach { s =>
+      val sig = Dedup.minhashKernel(s, 5, 64)
+      assert(AnswerKeys.bandHashesMirror(sig, 16, 4).sameElements(Dedup.bandHashes(sig, 16, 4)))
+    }
+    // jaccard over text pairs
+    val texts = adversarial.filter(_.length >= 5)
+    texts.zip(texts.tail :+ texts.head).foreach { case (a, b) =>
+      assert(AnswerKeys.jaccardMirror(a, b, 5) == Dedup.jaccardKernel(a, b, 5),
+        s"jaccard diverged on: ${a.take(30)} / ${b.take(30)}")
+      assert(AnswerKeys.jaccardMirror(a, a, 5) == 1.0)
+    }
+    assert(AnswerKeys.jaccardMirror("", "", 5) == Dedup.jaccardKernel("", "", 5))
+    assert(AnswerKeys.jaccardMirror("abcdefgh", "", 5) == Dedup.jaccardKernel("abcdefgh", "", 5))
+  }
+
+  test("lshBucketMirror == Similarity.lshBucketKernel (IEEE-order-sensitive)") {
+    val rng = new scala.util.Random(77L)
+    (1 to 200).foreach { _ =>
+      val dim = 1 + rng.nextInt(64)
+      val v = Array.fill(dim)((rng.nextFloat() - 0.5f) * 4f)
+      (0 until 4).foreach { t =>
+        assert(AnswerKeys.lshBucketMirror(v, 8, 0x5EED0000L + t) ==
+          graft.functions.Similarity.lshBucketKernel(v.toSeq, 8, 0x5EED0000L + t))
+        assert(AnswerKeys.lshBucketMirror(v, 12, 0x5EED0000L + t) ==
+          graft.functions.Similarity.lshBucketKernel(v.toSeq, 12, 0x5EED0000L + t))
+      }
+    }
+    // zero vector: all dots are exactly 0.0 => every sign bit set
+    assert(AnswerKeys.lshBucketMirror(Array.fill(8)(0f), 8, 0x5EED0000L) ==
+      graft.functions.Similarity.lshBucketKernel(Seq.fill(8)(0f), 8, 0x5EED0000L))
+  }
+
   test("null handling matches") {
     assert(AnswerKeys.simhashMirror(null) == Dedup.simhashKernel(null))
     assert(AnswerKeys.fingerprintMirror(null) == TextAnalysis.fingerprintKernel(null))
