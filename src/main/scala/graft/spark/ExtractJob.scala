@@ -40,12 +40,18 @@ object ExtractJob {
     * multi-GB file that downstream scans cannot split efficiently; with
     * rows-per-file capped, every output file lands near the target size.
     * 0 disables (small test runs don't need fanout). */
+  /** `withDiagnostics = true` additionally writes the per-block classifier
+    * feature dump (S9 `-T` parity) to `diagnostics/run_id=N` — an opt-in
+    * DEBUG surface: it re-parses the pending pages (a second kernel pass),
+    * which is the right trade for a dump a user enables on a sampled or
+    * problematic slice, not on every production run. */
   def run(
       spark: SparkSession,
       pages: DataFrame,
       outDir: String,
       cfg: ExtractPipeline.PipelineConfig = ExtractPipeline.PipelineConfig(),
-      maxRecordsPerFile: Long = 0L): RunResult = {
+      maxRecordsPerFile: Long = 0L,
+      withDiagnostics: Boolean = false): RunResult = {
 
     val store = new ParquetCheckpointStore(spark, outDir)
     val runId = store.nextRunId()
@@ -76,6 +82,10 @@ object ExtractJob {
     // lineage from the WRITTEN files (column-pruned re-read, never re-extracts)
     val written = spark.read.parquet(extractedPath)
     lineageAgg(written).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
+
+    if (withDiagnostics)
+      ExtractPipeline.diagnostics(spark, pending, cfg)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/diagnostics/run_id=$runId")
 
     val newDocs = observed.getOrElse("docs", 0L).asInstanceOf[Long]
     // source fingerprint = hash of the input file listing (the parquet

@@ -48,6 +48,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected native parse_url host key:\n$plan")
   }
 
+  test("diagnostics side-output reconciles with extracted block counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_diag").toString
+    ExtractJob.run(spark, Corpus.pages(spark, 200), dir, withDiagnostics = true)
+    val diag = spark.read.parquet(s"$dir/diagnostics/run_id=0")
+    assert(diag.count() > 0)
+    // per url: kept diagnostic rows == the extracted row's n_blocks
+    // (HTML branch only — PDFs have no classifier, hence no diag rows)
+    val kept = diag.filter(org.apache.spark.sql.functions.col("kept"))
+      .groupBy("url").count()
+    val ex = spark.read.parquet(s"$dir/extracted/run_id=0")
+      .select("url", "n_blocks")
+    val bad = kept.join(ex, Seq("url"))
+      .filter(org.apache.spark.sql.functions.col("count") =!=
+        org.apache.spark.sql.functions.col("n_blocks")).count()
+    assert(bad == 0)
+  }
+
   test("run + resume: second run over a superset processes only new urls") {
     val dir = java.nio.file.Files.createTempDirectory("graft_job").toString
     val r1 = ExtractJob.run(spark, Corpus.pages(spark, 300), dir)
