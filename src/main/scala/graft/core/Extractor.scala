@@ -24,9 +24,11 @@ final class Extractor(
   // fixspell `%corrected` analog and must outlive single documents. The
   // "yi" profile is the VERBATIM fixspell.pl pipeline (regex corrections,
   // exact-match ok words); anything else is the generalized latin mechanism.
+  // the LOSSLESS variant: the repairer runs per block slice, and a block
+  // boundary is not a document EOF — a trailing word+maqaf must survive
   @transient private lazy val spellRepairer: String => String =
     if (cfg.spellProfile == "yi")
-      new graft.core.assemble.FixspellRepair(cfg.dictionary).correctText _
+      new graft.core.assemble.FixspellRepair(cfg.dictionary).correctTextLossless _
     else new graft.core.assemble.SpellRepair(cfg.dictionary).correctText _
 
   def extract(url: String, bytes: Array[Byte], lang: String): ExtractedRow = {

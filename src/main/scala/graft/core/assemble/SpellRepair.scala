@@ -205,45 +205,50 @@ final class FixspellRepair(
   private val hyphenEnd = java.util.regex.Pattern.compile("(?U)(\\w+)\u05BE$")
   private val leadingWs = java.util.regex.Pattern.compile("(?U)^\\s*")
 
+  /** One doit line: (remainderIn, line) -> (correctedLine, remainderOut). */
+  private def processLine(remainderIn: String, line0: String): (String, String) = {
+    var line = line0
+    var remainder = remainderIn
+    if (remainder.nonEmpty) { // s/^(\\s*)/$1$remainder/
+      val m = leadingWs.matcher(line)
+      m.find() // zero-width match at 0 always succeeds
+      line = line.substring(0, m.end) + remainder + line.substring(m.end)
+      remainder = ""
+    }
+    val hm = hyphenEnd.matcher(line) // s/(\\w+)\u05BE$//
+    if (hm.find()) {
+      remainder = hm.group(1)
+      line = line.substring(0, hm.start) + line.substring(hm.end)
+    }
+    // split(/([\\p{P}\\s]+)/) keeping separators; correct letter-bearing
+    // parts not in the ok list, through the %corrected cache
+    val sb = new java.lang.StringBuilder(line.length)
+    val sep = sepClass.matcher(line)
+    var last = 0
+    def emitPart(part: String): Unit =
+      if (letter.matcher(part).find() && !ok(part)) sb.append(fixWord(part))
+      else sb.append(part)
+    while (sep.find()) {
+      if (sep.start > last) emitPart(line.substring(last, sep.start))
+      sb.append(line, sep.start, sep.end)
+      last = sep.end
+    }
+    if (last < line.length) emitPart(line.substring(last))
+    (sb.toString, remainder)
+  }
+
   /** doit over lines (each line INCLUDING its terminator, as <STDIN>
-    * delivers them). A trailing remainder at EOF is dropped — verbatim. */
+    * delivers them). A trailing remainder at EOF is dropped -- verbatim. */
   def correctLines(lines: Iterator[String]): Iterator[String] = {
     var remainder = ""
     lines.map { line0 =>
-      var line = line0
-      if (remainder.nonEmpty) { // s/^(\s*)/$1$remainder/
-        val m = leadingWs.matcher(line)
-        m.find() // zero-width match at 0 always succeeds
-        line = line.substring(0, m.end) + remainder + line.substring(m.end)
-        remainder = ""
-      }
-      val hm = hyphenEnd.matcher(line) // s/(\w+)\u05BE$//
-      if (hm.find()) {
-        remainder = hm.group(1)
-        line = line.substring(0, hm.start) + line.substring(hm.end)
-      }
-      // split(/([\p{P}\s]+)/) keeping separators; correct letter-bearing
-      // parts not in the ok list, through the %corrected cache
-      val sb = new java.lang.StringBuilder(line.length)
-      val sep = sepClass.matcher(line)
-      var last = 0
-      def emitPart(part: String): Unit =
-        if (letter.matcher(part).find() && !ok(part)) sb.append(fixWord(part))
-        else sb.append(part)
-      while (sep.find()) {
-        if (sep.start > last) emitPart(line.substring(last, sep.start))
-        sb.append(line, sep.start, sep.end)
-        last = sep.end
-      }
-      if (last < line.length) emitPart(line.substring(last))
-      sb.toString
+      val (out, rem) = processLine(remainder, line0)
+      remainder = rem
+      out
     }
   }
 
-  /** Whole-text convenience: split into lines keeping terminators, run
-    * [[correctLines]], concatenate. */
-  def correctText(text: String): String = {
-    if (text.isEmpty) return text
+  private def splitKeepingNewlines(text: String): Seq[String] = {
     val lines = new scala.collection.mutable.ArrayBuffer[String]()
     var start = 0
     var i = 0
@@ -252,6 +257,36 @@ final class FixspellRepair(
       i += 1
     }
     if (start < text.length) lines += text.substring(start)
-    correctLines(lines.iterator).mkString
+    lines.toSeq
+  }
+
+  /** Whole-text VERBATIM semantics: a trailing remainder is dropped exactly
+    * like the Perl at EOF (pinned by the differential gold). */
+  def correctText(text: String): String =
+    if (text.isEmpty) text else correctLines(splitKeepingNewlines(text).iterator).mkString
+
+  /** LOSSLESS whole-text variant for span-preserving extraction: identical
+    * to [[correctText]] except a remainder stripped by the LAST line (the
+    * Perl's EOF case) is re-attached where it was removed, verbatim with
+    * its maqaf, instead of being dropped -- the kernel applies the repairer
+    * per BLOCK slice, and a block boundary is not a document EOF;
+    * extraction must never lose words (round-3 review finding). */
+  def correctTextLossless(text: String): String = {
+    if (text.isEmpty) return text
+    var remainder = ""
+    val sb = new java.lang.StringBuilder(text.length)
+    splitKeepingNewlines(text).foreach { l =>
+      val (out, rem) = processLine(remainder, l)
+      remainder = rem
+      sb.append(out)
+    }
+    if (remainder.nonEmpty) {
+      // re-insert before the final line terminator (where it was stripped)
+      val restored = remainder + "\u05BE"
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\n')
+        sb.insert(sb.length - 1, restored)
+      else sb.append(restored)
+    }
+    sb.toString
   }
 }

@@ -134,21 +134,29 @@ object HtmlTokenizer {
         // ...plus (ADVICE r2, WHATWG 13.2.5.80): NUL (&#0;) and
         // out-of-range values (> 0x10FFFF) also map to U+FFFD instead of
         // falling through as literal text.
-        def appendRef(cp: Int): Unit =
-          if (cp == 0 || !Character.isValidCodePoint(cp) ||
-              (cp >= Character.MIN_SURROGATE.toInt && cp <= Character.MAX_SURROGATE.toInt))
+        // cp is a Long: the 12-char body cap bounds digits well inside Long
+        // range, so overflowing values (e.g. &#x110000000;) take the FFFD
+        // branch instead of a parse exception's literal passthrough. A
+        // syntactically non-numeric body (`&#-1;`, `&#zz;`) is NOT a
+        // character reference per WHATWG and stays literal.
+        def appendRef(cp: Long): Unit =
+          if (cp == 0 || cp > Character.MAX_CODE_POINT ||
+              (cp >= Character.MIN_SURROGATE.toLong && cp <= Character.MAX_SURROGATE.toLong))
             sb.append('\uFFFD')
-          else sb.appendCodePoint(cp)
+          else sb.appendCodePoint(cp.toInt)
+        def allDec(d: String): Boolean =
+          d.nonEmpty && d.forall(ch => ch >= '0' && ch <= '9')
+        def allHex(d: String): Boolean =
+          d.nonEmpty && d.forall(ch => (ch >= '0' && ch <= '9') ||
+            (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F'))
         if (body.startsWith("#x") || body.startsWith("#X")) {
-          try {
-            val cp = Integer.parseInt(body.substring(2), 16)
-            appendRef(cp); i = semi + 1
-          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          val digits = body.substring(2)
+          if (allHex(digits)) { appendRef(java.lang.Long.parseLong(digits, 16)); i = semi + 1 }
+          else { sb.append(c); i += 1 }
         } else if (body.startsWith("#")) {
-          try {
-            val cp = Integer.parseInt(body.substring(1))
-            appendRef(cp); i = semi + 1
-          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          val digits = body.substring(1)
+          if (allDec(digits)) { appendRef(java.lang.Long.parseLong(digits)); i = semi + 1 }
+          else { sb.append(c); i += 1 }
         } else namedEntities.get(body) match {
           case Some(rep) => sb.append(rep); i = semi + 1
           case None => sb.append(c); i += 1

@@ -95,8 +95,16 @@ class HtmlTokenizerSpec extends AnyFunSuite {
     assert(decodeEntities("a&#x110000;b") == "a�b")
     assert(decodeEntities("a&#0;b") == "a�b")
     assert(decodeEntities("a&#x0;b") == "a�b")
-    // non-numeric garbage after &# is still literal passthrough
+    // non-numeric garbage after &# is still literal passthrough — including
+    // a leading minus, which Integer.parseInt would have accepted (round-3
+    // review: &#-1; must NOT become U+FFFD, it is not a charref)
     assert(decodeEntities("a&#zz;b") == "a&#zz;b")
+    assert(decodeEntities("a&#-1;b") == "a&#-1;b")
+    assert(decodeEntities("a&#x-1;b") == "a&#x-1;b")
+    // Int-overflowing numeric values are syntactically charrefs => U+FFFD
+    // (previously a parse exception fell through as literal text)
+    assert(decodeEntities("a&#x110000000;b") == "a�b")
+    assert(decodeEntities("a&#4294967296;b") == "a�b")
     // astral-plane refs still decode to proper surrogate PAIRS
     assert(decodeEntities("a&#x1F600;b") == "a\uD83D\uDE00b")
   }

@@ -14,16 +14,16 @@ class SpellRepairSpec extends AnyFunSuite {
 
   test("ordered first-accepting substitution (fixspell.pl fixit analog)") {
     val r = new SpellRepair(dict)
-    assert(r.correct("rnodern") == "modern") // rn→m at pos 0
-    assert(r.correct("w0rld") == "world")    // 0→o
-    assert(r.correct("vvindovv") == "window") // two vv→w via depth-2 recursion
+    assert(r.correct("rnodern") == "modern") // rn\u2192m at pos 0
+    assert(r.correct("w0rld") == "world")    // 0\u2192o
+    assert(r.correct("vvindovv") == "window") // two vv\u2192w via depth-2 recursion
   }
 
   test("position order: leftmost fix point wins") {
     val d = Set("corn", "com")
     val r = new SpellRepair(d, substitutions = Seq("rn" -> "m", "m" -> "rn"))
-    // "corn" is ok already; "com" → tries m→rn at pos 2 → "corn" ok
-    assert(r.correct("com") == "com") // already in dict — unchanged
+    // "corn" is ok already; "com" \u2192 tries m\u2192rn at pos 2 \u2192 "corn" ok
+    assert(r.correct("com") == "com") // already in dict \u2014 unchanged
     val r2 = new SpellRepair(Set("corn"), substitutions = Seq("m" -> "rn"))
     assert(r2.correct("com") == "corn")
   }
@@ -51,9 +51,9 @@ class SpellRepairSpec extends AnyFunSuite {
   // same synthetic ok-word list) on the input. The probe exercises every
   // correction of the verbatim table (SpellRepair.yiddishCorrections), the
   // rule ORDER (patah tried before qamats), fix stacking via fixit's
-  // where+1 recursion, the (?=\P{M}) lookahead — including its subtle
+  // where+1 recursion, the (?=\P{M}) lookahead \u2014 including its subtle
   // consequence that a WORD-FINAL alef can never be fixed (lookahead needs
-  // a following char), so "mama" stays broken — the maqaf line-end rejoin,
+  // a following char), so "mama" stays broken \u2014 the maqaf line-end rejoin,
   // the %corrected cache path, and the dropped EOF remainder.
   private val yiOk = Set(
     "\u05D4\u05F2\u05B7\u05E0\u05D8", // haynt    (rule 1: double-yod + patah)
@@ -97,6 +97,20 @@ class SpellRepairSpec extends AnyFunSuite {
     assert(r.correctText(in1) == gold)
     // idempotence: repaired text is all ok words / unfixable parts
     assert(r.correctText(gold) == gold)
+  }
+
+  test("correctTextLossless: a block-final word+maqaf survives (block != EOF)") {
+    import graft.core.assemble.FixspellRepair
+    val r = new FixspellRepair(yiOk)
+    // the verbatim path drops the stripped remainder at EOF (Perl-pinned)\u2026
+    val in = "\u05DE\u05D0\u05DF \u05D0\u05D1\u05D2\u05BE\n"
+    assert(r.correctText(in) == "\u05DE\u05D0\u05B7\u05DF \n")
+    // \u2026the lossless path (what the extraction kernel uses per block slice)
+    // re-attaches it verbatim before the terminator; the rest still repairs
+    assert(r.correctTextLossless(in) == "\u05DE\u05D0\u05B7\u05DF \u05D0\u05D1\u05D2\u05BE\n")
+    assert(r.correctTextLossless("\u05DE\u05D0\u05DF \u05D0\u05D1\u05D2\u05BE") == "\u05DE\u05D0\u05B7\u05DF \u05D0\u05D1\u05D2\u05BE")
+    // without a dangling remainder the two are identical
+    assert(r.correctTextLossless("\u05DE\u05D0\u05DF \u05EA\u05D5\u05E8\u05D4\n\u05DB\u05DC\u05DC") == r.correctText("\u05DE\u05D0\u05DF \u05EA\u05D5\u05E8\u05D4\n\u05DB\u05DC\u05DC"))
   }
 
   test("fixit: word-final alef is unfixable (lookahead needs a following char)") {
