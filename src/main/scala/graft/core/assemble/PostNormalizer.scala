@@ -232,23 +232,11 @@ object PostNormalizer {
     }
 
   /** Apply rules per span segment so offsets stay exact even when rule
-    * replacements change lengths: each span's slice is rewritten
-    * independently and offsets are recomputed. Text between spans (the
-    * \n\n separators and trailing \n) passes through untouched. */
+    * replacements change lengths: delegates to [[graft.core.Spans.rewrite]]
+    * (one home for the span-offset bookkeeping — round-3 review
+    * deduplication). Text between spans passes through untouched. */
   def applyWithSpans(text: String, spans: Seq[Span], lang: String): (String, Vector[Span]) = {
     if (!registry.contains(lang) || spans.isEmpty) return (text, spans.toVector)
-    val sb = new java.lang.StringBuilder(text.length)
-    val out = Vector.newBuilder[Span]
-    var cursor = 0
-    spans.foreach { s =>
-      sb.append(text, cursor, s.begin)
-      val rewritten = apply(text.substring(s.begin, s.end), lang)
-      val b = sb.length
-      sb.append(rewritten)
-      out += Span(b, sb.length, s.kind)
-      cursor = s.end
-    }
-    sb.append(text, cursor, text.length)
-    (sb.toString, out.result())
+    graft.core.Spans.rewrite(text, spans)(apply(_, lang))
   }
 }

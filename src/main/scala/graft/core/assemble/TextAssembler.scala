@@ -133,12 +133,35 @@ object TextAssembler {
     while (i < rc) {
       levels(i) = bidi.getRunLevel(i).toByte
       val s = line.substring(bidi.getRunStart(i), bidi.getRunLimit(i))
-      // odd (RTL) runs render right-to-left: reverse their chars
-      runs(i) = if ((bidi.getRunLevel(i) & 1) == 1) s.reverse else s
+      // odd (RTL) runs render right-to-left: reverse their clusters
+      runs(i) = if ((bidi.getRunLevel(i) & 1) == 1) reverseRun(s) else s
       i += 1
     }
     java.text.Bidi.reorderVisually(levels, 0, runs, 0, rc)
     runs.mkString
+  }
+
+  /** Reverse an RTL run VISUALLY: combining marks stay attached after
+    * their base (fribidi keeps clusters intact — the reference's reorder,
+    * main/gtkDisplay.c:306-337) and surrogate pairs are never split. A
+    * naive per-char reverse emitted mark-before-base sequences (breaking
+    * the downstream yi-utf8/fixspell rules that match base+mark) and
+    * ill-formed UTF-16 for supplementary-plane RTL scripts (round-3
+    * review finding). */
+  private def reverseRun(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var end = s.length
+    var i = s.length
+    while (i > 0) {
+      val cp = s.codePointBefore(i)
+      i -= Character.charCount(cp)
+      val t = Character.getType(cp)
+      val isMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK || t == Character.ENCLOSING_MARK
+      if (!isMark) { sb.append(s, i, end); end = i }
+    }
+    if (end > 0) sb.append(s, 0, end) // leading orphan marks: visual end
+    sb.toString
   }
 
   /** Assemble kept blocks into (text, spans). */

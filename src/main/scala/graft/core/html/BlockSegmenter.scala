@@ -42,6 +42,14 @@ object BlockSegmenter {
 
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
+  /** Elements allowed inside <head>: anything ELSE implicitly closes an
+    * open head (HTML5 optional-end-tag rule — </head> may be omitted;
+    * without this, the head's skip state swallowed the whole body of a
+    * conforming page; round-3 review finding). */
+  private val headContentTags = Set(
+    "base", "basefont", "bgsound", "link", "meta", "title", "noscript",
+    "noframes", "style", "script", "template")
+
   /** Non-content subtrees skipped entirely. */
   private val skipTags = Set("script", "style", "noscript", "textarea", "head",
     "title", "svg", "iframe", "select", "option", "button", "datalist")
@@ -100,6 +108,7 @@ object BlockSegmenter {
     private var blockDepthC = 0
     private var headingDepthC = 0
     private var liDepthC = 0
+    private var headDepthC = 0
 
     private def tagPathNow: String = stack.iterator.filter(_.isBlock).map(_.name).mkString("/")
 
@@ -111,6 +120,7 @@ object BlockSegmenter {
       if (e.isBlock) blockDepthC += 1
       if (e.heading) headingDepthC += 1
       if (e.li) liDepthC += 1
+      if (e.name == "head") headDepthC += 1
     }
 
     private def popFrom(idx: Int): Unit = {
@@ -123,6 +133,7 @@ object BlockSegmenter {
         if (e.isBlock) blockDepthC -= 1
         if (e.heading) headingDepthC -= 1
         if (e.li) liDepthC -= 1
+        if (e.name == "head") headDepthC -= 1
         k -= 1
       }
       stack.remove(idx, stack.length - idx)
@@ -222,6 +233,11 @@ object BlockSegmenter {
       } else if (name == "hr") {
         flush()
       } else {
+        // implicit </head> (guarded by the counter — zero cost once closed)
+        if (headDepthC > 0 && name != "head" && !headContentTags.contains(name)) {
+          val hi = stack.lastIndexWhere(_.name == "head")
+          if (hi >= 0) popFrom(hi)
+        }
         val flags: Int = tagFlags.getOrDefault(name, ZeroFlags)
         if ((flags & FBlock) != 0) flush()
         if (!selfClosing && (flags & FVoid) == 0) {

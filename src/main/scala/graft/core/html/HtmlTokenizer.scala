@@ -251,8 +251,11 @@ object HtmlTokenizer {
             } else {
               emitStart(tag.name, tag.id, tag.cls, tag.selfClosing)
               i = after
-              // raw-text elements: skip to the matching close tag
-              if (!tag.selfClosing && rawTextElements.contains(tag.name)) {
+              // raw-text elements: skip to the matching close tag.
+              // HTML5 IGNORES a trailing "/" on non-void elements, so
+              // <script/> still opens script data — honoring selfClosing
+              // here leaked JS source into the text stream (round-3 review)
+              if (rawTextElements.contains(tag.name)) {
                 val name = tag.name
                 val close = indexOfCloseTag(html, i, name)
                 if (name == "title") {

@@ -225,11 +225,7 @@ object PdfTextExtractor {
             // kerning values and wreck the x positions)
             val e = cs.indexOf('>', i + 1)
             val hex = if (e < 0) cs.substring(i + 1) else cs.substring(i + 1, e)
-            val clean = hex.filter(h => Character.digit(h, 16) >= 0)
-            val hb = new java.lang.StringBuilder
-            var k = 0
-            while (k + 1 < clean.length) { hb.append(Integer.parseInt(clean.substring(k, k + 2), 16).toChar); k += 2 }
-            pendingArray += Right(hb.toString)
+            pendingArray += Right(decodeHexString(hex))
             i = if (e < 0) n else e + 1
           } else if (ch == '-' || ch == '+' || ch == '.' || ch.isDigit) {
             val st = i
@@ -244,11 +240,7 @@ object PdfTextExtractor {
         // hex string — decode as latin-1 bytes
         val e = cs.indexOf('>', i + 1)
         val hex = if (e < 0) cs.substring(i + 1) else cs.substring(i + 1, e)
-        val clean = hex.filter(ch => Character.digit(ch, 16) >= 0)
-        val sb = new java.lang.StringBuilder
-        var k = 0
-        while (k + 1 < clean.length) { sb.append(Integer.parseInt(clean.substring(k, k + 2), 16).toChar); k += 2 }
-        pendingStrings += sb.toString
+        pendingStrings += decodeHexString(hex)
         i = if (e < 0) n else e + 1
       } else if (c == '<') { // dict << — skip to matching >>
         val e = cs.indexOf(">>", i + 2)
@@ -315,9 +307,25 @@ object PdfTextExtractor {
     seq
   }
 
+  /** Hex string body → latin-1 chars (PDF 32000-1 §7.3.4.3): non-hex chars
+    * ignored; an ODD final digit is padded with 0 — `<48656C2>` ends with
+    * 0x20, not a dropped byte (round-3 review: both call sites previously
+    * duplicated this decode AND dropped the odd digit). */
+  private[core] def decodeHexString(hex: String): String = {
+    val clean = hex.filter(h => Character.digit(h, 16) >= 0)
+    val sb = new java.lang.StringBuilder(clean.length / 2 + 1)
+    var k = 0
+    while (k + 1 < clean.length) {
+      sb.append(Integer.parseInt(clean.substring(k, k + 2), 16).toChar); k += 2
+    }
+    if (k < clean.length) // odd digit count: final digit + assumed 0
+      sb.append((Character.digit(clean.charAt(k), 16) * 16).toChar)
+    sb.toString
+  }
+
   /** PDF literal string at `i` (pointing at '('), with \-escapes and nested
     * parens. Returns (decoded, indexAfterClosingParen). */
-  private[pdf] def parseLiteralString(cs: String, i0: Int): (String, Int) = {
+  private[core] def parseLiteralString(cs: String, i0: Int): (String, Int) = {
     val sb = new java.lang.StringBuilder
     var i = i0 + 1
     var depth = 1
@@ -342,7 +350,8 @@ object PdfTextExtractor {
             while (k < n && cnt < 3 && cs.charAt(k) >= '0' && cs.charAt(k) <= '7') {
               v = v * 8 + (cs.charAt(k) - '0'); k += 1; cnt += 1
             }
-            sb.append(v.toChar); i = k
+            // §7.3.4.2: high-order overflow is ignored — \777 is byte 0xFF
+            sb.append((v & 0xFF).toChar); i = k
           case '\n' => i += 2 // line continuation
           case other => sb.append(other); i += 2
         }
@@ -402,6 +411,16 @@ object PdfTextExtractor {
     }
   }
 
+  /** Whitespace-amplification caps (see assembleRuns). */
+  private final val MaxBlankLines = 40
+  private final val MaxLineWhitespace = 400
+
+  /** floor-result → bounded non-negative Int; NaN/Infinity-safe. */
+  private def clampCount(v: Double, max: Int): Int =
+    if (v.isNaN || v <= 0.0) 0
+    else if (v >= max.toDouble) max
+    else v.toInt
+
   private def groupLines(runs: ArrayBuffer[Run], cfg: ExtractorConfig): ArrayBuffer[Line] = {
     val lines = new ArrayBuffer[Line]
     runs.foreach { r =>
@@ -441,13 +460,19 @@ object PdfTextExtractor {
         val fs = line.runs.head.fontSize
         val charW = 0.5 * fs
         val lineH = cfg.pdfLineHeightFactor * fs
+        // ALL whitespace counts are clamped: a hostile/degenerate PDF
+        // (fontSize 0 => charW 0 => gap/charW = Infinity, or plain huge
+        // coordinates) must produce a bounded row, never an
+        // OutOfMemoryError that escapes the failure-is-data contract
+        // (round-3 review finding; OOM is not NonFatal). The caps sit far
+        // above anything a real layout produces (a page is ~66 lines tall
+        // and ~100 chars wide at 12pt).
         if (!first) {
           if (firstInCol) {
             sb.append('\n') // column/page boundary: single break
           } else {
             val gap = prevY - line.y
-            var blanks = math.floor(gap / lineH).toInt - 1
-            if (blanks < 0) blanks = 0
+            var blanks = clampCount(math.floor(gap / lineH) - 1, MaxBlankLines)
             if (blanks > 2) blanks = blanks / 2 + 1 // T3 halving rule
             sb.append('\n')
             var k = 0
@@ -457,7 +482,7 @@ object PdfTextExtractor {
         val begin = sb.length
         // indentation (T2) — relative to the COLUMN's left margin
         // (reference keeps margins per column, main/segment.c:164-165)
-        val indent = math.floor((line.minX - colMinX) / charW).toInt
+        val indent = clampCount(math.floor((line.minX - colMinX) / charW), MaxLineWhitespace)
         var k = 0
         while (k < indent) { sb.append(' '); k += 1 }
         // word spacing between runs (T1)
@@ -466,7 +491,8 @@ object PdfTextExtractor {
           if (!prevEnd.isNaN) {
             val gap = r.x - prevEnd
             if (gap > cfg.pdfSpaceFraction * charW) {
-              val nSpaces = math.max(1, math.floor(gap / charW).toInt - 1)
+              val nSpaces = math.max(1,
+                clampCount(math.floor(gap / charW) - 1, MaxLineWhitespace))
               var j = 0
               while (j < nSpaces) { sb.append(' '); j += 1 }
             }

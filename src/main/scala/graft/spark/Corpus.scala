@@ -36,8 +36,11 @@ object Corpus {
 
   /** Docs for a testdata sf dir name, e.g. ".../sf0.01" → 1000 docs/sf-unit. */
   def docsForSf(sfDir: String): Long = {
-    val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-    val sf = m.map(_.group(1).toDouble).getOrElse(0.01)
+    // proper numeric pattern: "sf0.01.bak" must parse 0.01, not throw on
+    // a trailing-dot capture (round-3 review finding)
+    val m = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+    val sf = m.flatMap(x => scala.util.Try(x.group(1).toDouble).toOption)
+      .getOrElse(0.01)
     math.max(200L, (sf * 100000).toLong)
   }
 }

@@ -158,9 +158,11 @@ object ExtractJob {
     val lineage = lineageAgg(spark.read.parquet(path))
     lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
     // doc count from the (tiny) lineage table — no second scan of the
-    // compacted output (run() uses df.observe for the same reason)
+    // compacted output (run() uses df.observe for the same reason);
+    // coalesce: sum over an EMPTY lineage table is null (all-empty runs),
+    // which must commit 0, not NPE mid-protocol (round-3 review finding)
     val docs = spark.read.parquet(s"$outDir/lineage/run_id=$runId")
-      .agg(sum("doc_count")).first.getLong(0)
+      .agg(coalesce(sum("doc_count"), lit(0L))).first.getLong(0)
     store.commit(runId, docs, s"compaction:${ids.mkString("+")}")
     store.retire(ids)
     RunResult(runId, docs, 0L)

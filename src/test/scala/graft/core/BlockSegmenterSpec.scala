@@ -82,4 +82,22 @@ class BlockSegmenterSpec extends AnyFunSuite {
     assert(b.head.tagPath == "body/div/ul/li")
     assert(b.head.depth == 4)
   }
+
+  test("omitted </head> (valid HTML5) implicitly closes: body text survives") {
+    // round-3 review: without the implicit close, the head's skip state
+    // swallowed the entire body of a conforming page
+    val b = seg("<html><head><title>t</title><meta charset=utf-8>" +
+      "<body><p>ten words of real article content go right here now</p></body></html>")
+    assert(b.nonEmpty, "body was swallowed by the unclosed <head>")
+    assert(b.head.text.contains("real article content"))
+    assert(b.head.words == 10)
+    // head CONTENT (title/style/script) must still not leak out
+    val b2 = seg("<html><head><title>skip me</title><style>.x{}</style>" +
+      "<div><p>six words of body text here</p></div>")
+    assert(b2.exists(_.text.contains("six words")))
+    assert(!b2.exists(_.text.contains("skip me")))
+    // a properly closed head behaves as before
+    val b3 = seg("<html><head><title>t</title></head><body><p>words in the body here</p></body>")
+    assert(b3.exists(_.text.contains("words in the body")))
+  }
 }

@@ -95,6 +95,15 @@ class HtmlTokenizerSpec extends AnyFunSuite {
     assert(decodeEntities("a&#x110000;b") == "a�b")
     assert(decodeEntities("a&#0;b") == "a�b")
     assert(decodeEntities("a&#x0;b") == "a�b")
+    // HTML5 ignores the "/" on non-void elements: <script/> still opens
+    // script data — its source must never leak into the text stream
+    // (round-3 review)
+    val toks = graft.core.html.HtmlTokenizer.tokenize(
+      "<div><script/>var nav = {x: 1 < 2};</script><p>article words</p></div>")
+    assert(!toks.exists {
+      case graft.core.html.HtmlTokenizer.Text(t) => t.contains("var nav")
+      case _ => false
+    }, s"script source leaked: $toks")
     // non-numeric garbage after &# is still literal passthrough — including
     // a leading minus, which Integer.parseInt would have accepted (round-3
     // review: &#-1; must NOT become U+FFFD, it is not a charref)

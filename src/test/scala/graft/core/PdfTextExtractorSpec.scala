@@ -271,4 +271,36 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     // LTR order unchanged
     assert(text(p1, p2) == "page one\npage two\n")
   }
+
+  test("whitespace amplification is clamped: fontSize 0 and huge coordinates stay bounded") {
+    // fontSize 0 => charW 0 => gap/charW = Infinity: previously built an
+    // Int.MaxValue-space string => OutOfMemoryError killing the task
+    val zeroFont = "BT /F1 0 Tf 10 700 Td (a) Tj 500 690 Td (b) Tj ET\n"
+    val out1 = text(zeroFont)
+    assert(out1.length < 2000, s"unbounded whitespace: ${out1.length} chars")
+    assert(out1.contains("a") && out1.contains("b"))
+    // plain huge coordinates: ~160MB of spaces before the clamp
+    val hugeX = "BT /F1 12 Tf 10 700 Td (a) Tj ET\nBT /F1 12 Tf 999999999 690 Td (b) Tj ET\n"
+    val out2 = text(hugeX)
+    assert(out2.length < 2000, s"unbounded whitespace: ${out2.length} chars")
+    // huge vertical gap: bounded blank lines
+    val hugeY = "BT /F1 12 Tf 72 99999999 Td (a) Tj ET\nBT /F1 12 Tf 72 10 Td (b) Tj ET\n"
+    val out3 = text(hugeY)
+    assert(out3.count(_ == '\n') < 100, s"unbounded blank lines: ${out3.count(_ == '\n')}")
+  }
+
+  test("hex strings: odd final digit is padded with 0 (PDF 32000-1 7.3.4.3)") {
+    // <48656C6C6F2> = "Hello" + 0x20 (trailing '2' reads as 0x20)
+    assert(text("BT /F1 12 Tf 72 720 Td <48656C6C6F2> Tj (x) Tj ET\n").contains("Hello x")
+      || PdfTextExtractor.decodeHexString("48656C6C6F2") == "Hello ")
+    assert(PdfTextExtractor.decodeHexString("48656C6C6F2") == "Hello ")
+    assert(PdfTextExtractor.decodeHexString("48656C6C6F") == "Hello")
+    assert(PdfTextExtractor.decodeHexString("") == "")
+    assert(PdfTextExtractor.decodeHexString("4") == "@") // lone digit: 0x40
+  }
+
+  test("literal-string octal escapes ignore high-order overflow (\\777 = 0xFF)") {
+    val (s, _) = PdfTextExtractor.parseLiteralString("(\\777\\377\\101)", 0)
+    assert(s == "\u00FF\u00FFA")
+  }
 }
