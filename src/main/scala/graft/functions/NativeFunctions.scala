@@ -10,7 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static kernels invoked from Catalyst via [[StaticInvoke]] — scalac emits
   * static forwarders for a top-level object, which StaticInvoke's codegen
   * calls directly inside WholeStageCodegen: no UDF closure, no
-  * serialization boundary, null-propagation handled by the expression. */
+  * serialization boundary.
+  *
+  * NULL SEMANTICS (deliberate, round-3 review note): the expressions are
+  * built with `propagateNull = true` — SQL-idiomatic `f(NULL) = NULL`,
+  * like every Spark built-in. The in-kernel null guards below therefore
+  * never fire through the SQL surface (they serve direct JVM callers) and
+  * a null-text row yields NULL simhash/langid/…, NOT 0L/"und". Pipelines
+  * that want the JVM-kernel defaults coalesce explicitly (as
+  * ExtractPipeline does for lang). */
 object NativeKernels {
   def simhash64(s: UTF8String): Long =
     if (s == null) 0L else Dedup.simhashKernel(s.toString)

@@ -67,26 +67,38 @@ object Similarity {
   }
 
   /** ANN top-k: candidates share an LSH bucket with the query (multi-table:
-    * `tables` independent hashings to boost recall), exact cosine inside. */
+    * `tables` independent hashings to boost recall), exact cosine inside.
+    *
+    * Shuffle discipline (round-3 review — this path had missed the r1
+    * refit that [[embeddingNearDupPairs]] got): ONLY (id, table, bucket)
+    * rides the bucket equi-join and the candidate dedup; embeddings are
+    * joined back BY ID for surviving candidates, so the corpus payload
+    * crosses an exchange once instead of ×tables through the join plus
+    * again through dropDuplicates. */
   def lshTopK(
       vectors: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketUdf = udf((v: Seq[Float], t: Int) => lshBucketKernel(v, nBits, 0x5EED0000L + t))
-    def withBuckets(df: DataFrame, id: String, emb: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(emb))
-        .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+    val vBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
+    def buckets(df: DataFrame, id: String, emb: String) =
+      df.withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
         .withColumn("bucket", bucketUdf(col(emb), col("table")))
-    val v = withBuckets(Dedup.parallelize(vectors), "vec_id", "v_emb")
-    val q = withBuckets(queries, "query_id", "q_emb")
+        .select(col(id), col("table"), col("bucket")) // ids-only exchange
+    val v = buckets(Dedup.parallelize(vBase), "vec_id", "v_emb")
+    val q = buckets(qBase, "query_id", "q_emb")
     val cand = v.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "q_emb", "v_emb")
+      .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
+    val scored = cand
+      .join(vBase, Seq("vec_id"))
+      .join(qBase, Seq("query_id"))
       .withColumn("sim", cosine(col("v_emb"), col("q_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
   }

@@ -103,15 +103,24 @@ object Multimodal {
   def sampleFrames(df: DataFrame, payloadCol: String, stride: Int = 2): DataFrame = {
     val frameUdf = udf { (payload: Array[Byte]) =>
       val meta = decodeMetaKernel(payload)
-      if (meta.media_type != "video" || meta.n_frames == 0 || meta.width * meta.height == 0)
+      // LONG frame geometry + explicit <=0 guards (round-3 review): a
+      // corrupt header with w*h overflowing Int to negative previously
+      // slipped past the ==0 check and crashed copyOfRange, and a
+      // negative n_frames silently deleted the row instead of passing it
+      // through like the other non-decodable shapes
+      val frameBytes = meta.width.toLong * meta.height.toLong
+      // a header whose geometry cannot fit even ONE frame in the payload
+      // is corrupt — pass through like the other non-decodable shapes
+      if (meta.media_type != "video" || meta.n_frames <= 0 || frameBytes <= 0 ||
+          16L + frameBytes > payload.length)
         Seq((-1, payload))
       else {
-        val frameBytes = meta.width * meta.height
-        val header = 16
+        val header = 16L
         (0 until meta.n_frames by stride).map { f =>
-          val start = header + f * frameBytes
-          val end = math.min(start + frameBytes, payload.length)
-          (f, java.util.Arrays.copyOfRange(payload, math.min(start, payload.length), math.max(end, math.min(start, payload.length))))
+          val start = (header + f * frameBytes).min(payload.length.toLong).toInt
+          val end = (header + f * frameBytes + frameBytes)
+            .min(payload.length.toLong).toInt
+          (f, java.util.Arrays.copyOfRange(payload, start, math.max(end, start)))
         }
       }
     }
@@ -125,7 +134,10 @@ object Multimodal {
     * (deterministic stand-in for a real resampler; same signature). */
   def resizeKernel(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
     val meta = decodeMetaKernel(payload)
-    if (meta.media_type != "image" || meta.width * meta.height == 0) return payload
+    // <=0 guards on BOTH source and target dims (round-3 review: negative
+    // header dims passed the ==0 check and indexed payload(negative))
+    if (meta.media_type != "image" || meta.width <= 0 || meta.height <= 0 ||
+        newW <= 0 || newH <= 0) return payload
     val out = new Array[Byte](12 + newW * newH)
     out(0) = 'G'; out(1) = 'I'; out(2) = 'M'; out(3) = 'G'
     writeInt(out, 4, newW); writeInt(out, 8, newH)
@@ -136,7 +148,7 @@ object Multimodal {
         val sx = (x.toLong * meta.width / newW).toInt
         val sy = (y.toLong * meta.height / newH).toInt
         val src = 12 + sy * meta.width + sx
-        out(12 + y * newW + x) = if (src < payload.length) payload(src) else 0
+        out(12 + y * newW + x) = if (src >= 0 && src < payload.length) payload(src) else 0
         x += 1
       }
       y += 1
@@ -151,15 +163,32 @@ object Multimodal {
     b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
   }
 
-  /** Size-bucketed repartitioning: media payloads are heavily skewed
-    * (videos ≫ images); balancing BYTES per partition, not rows, keeps
-    * task runtimes even at scale. Buckets by log2(size), spreads within a
-    * bucket by url hash. */
+  /** Size-aware repartitioning for heavily skewed media payloads
+    * (videos ≫ images): rows are STRIPED round-robin across partitions
+    * WITHIN each log2-size bucket, so every partition receives ~count/P
+    * rows of every size class — per-partition bytes equalize by
+    * construction, not by chance. (Round-3 review: the previous
+    * hash-repartition keyed on (_size_bucket, hash) was distributionally
+    * identical to hashing the payload alone — a few giant videos could
+    * still pile onto one task.)
+    *
+    * The stripe index is a per-bucket row_number modulo (64 × P), range-
+    * placed so each output partition owns a contiguous ~64-stripe slice —
+    * every partition therefore receives ≈ count/P rows of EVERY size
+    * bucket. Scale note: the per-bucket window funnels one size class
+    * through one task; right for the batching jobs this serves (≤ tens of
+    * millions of rows) — a 10^9-row media table should stripe on a
+    * precomputed ingest ordinal instead. */
   def repartitionBySize(df: DataFrame, payloadCol: String, partitions: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_size_bucket")).orderBy(col("_h"))
     df.withColumn("_size_bucket",
         ceil(log2(greatest(length(col(payloadCol)).cast("double"), lit(1.0)))))
-      .repartition(partitions, col("_size_bucket"), xxhash64(col(payloadCol)))
-      .drop("_size_bucket")
+      .withColumn("_h", xxhash64(col(payloadCol)))
+      .withColumn("_stripe",
+        pmod(row_number().over(w).cast("long"), lit(partitions.toLong * 64)))
+      .repartitionByRange(partitions, col("_stripe"))
+      .drop("_size_bucket", "_h", "_stripe")
   }
 }
 

@@ -118,7 +118,11 @@ object StreamingExtract {
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
     pages
       .withColumn("host", ExtractPipeline.hostCol(col("url")))
-      .select(col("host").as[String], length(col("html")).cast("long").as[Long])
+      // coalesce: a null html row (pageSchema allows it) would NPE the
+      // primitive-Long deserializer and permanently brick the checkpointed
+      // stream on replay (round-3 review)
+      .select(col("host").as[String],
+        coalesce(length(col("html")).cast("long"), lit(0L)).as[Long])
       .groupByKey(_._1)
       .mapGroupsWithState[HostState, HostState](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {

@@ -109,7 +109,11 @@ object AnswerKeys {
   }
 
   /** Exact mirror of Similarity.cosine's zip_with/aggregate HOF tree:
-    * per-element double widening, in-order left folds, guarded zero norms. */
+    * per-element double widening, in-order left folds, guarded zero norms.
+    * ASSUMES equal-length vectors (the embeddings table contract): on a
+    * ragged pair Spark's zip_with null-pads and the whole sim becomes
+    * NULL, while this mirror would truncate to the shorter length —
+    * documented, not reachable with fixed-dim generated embeddings. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0
     var i = 0
@@ -333,11 +337,14 @@ object AnswerKeys {
         minhashMirror(t, shingleK, bands * rowsPerBand), bands, rowsPerBand))
     }
     val buckets = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Int]]()
-    sigs.zipWithIndex.foreach { case ((_, _, bh), idx) =>
-      var b = 0
-      while (b < bands) {
-        buckets.getOrElseUpdate((b, bh(b)), new mutable.ArrayBuffer[Int]) += idx
-        b += 1
+    sigs.zipWithIndex.foreach { case ((_, t, bh), idx) =>
+      // shingle-less texts generate no bands (mirrors the engine's guard)
+      if (t != null && t.length >= shingleK) {
+        var b = 0
+        while (b < bands) {
+          buckets.getOrElseUpdate((b, bh(b)), new mutable.ArrayBuffer[Int]) += idx
+          b += 1
+        }
       }
     }
     val cand = new mutable.HashSet[(Int, Int)]()
@@ -435,8 +442,15 @@ object AnswerKeys {
     import spark.implicits._
     val n = Corpus.docsForSf(d)
 
-    def write(name: String, df: DataFrame): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+    // per-key isolation (round-3 review): one failing key (e.g. a single
+    // malformed input row) must cost ONE red oracle row, not silently
+    // lose every x-key of the run — df is by-name so the key computation
+    // itself runs inside the guard
+    def write(name: String, df: => DataFrame): Unit =
+      try df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[answer-keys] $name failed: ${e.getMessage}")
+      }
 
     // x1–x4: GENERATION-TIME truth (FixtureGen's answer key, the byte-
     // identity contract — never computed by running the extractor)
@@ -459,6 +473,10 @@ object AnswerKeys {
       K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
     }.toSeq.sortBy(_.failure).toDS().toDF())
 
+    // mirror of the url-host derivation for WELL-FORMED scheme://host/path
+    // urls (all FixtureGen emits). NOT equivalent to parse_url on urls with
+    // userinfo/port/no scheme — if fixture url shapes ever grow those, this
+    // must switch to a java.net.URI-based parse (round-3 review note).
     def hostOf(url: String): String = {
       val i = url.indexOf("://")
       val start = if (i >= 0) i + 3 else 0

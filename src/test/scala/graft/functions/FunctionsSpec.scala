@@ -231,6 +231,36 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lshTopK: NO embedding rides the bucket-join exchanges (round-3 refit)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = spark; import s.implicits._
+      val vecs = (0 until 32).map(i => (i.toLong, Array.tabulate(8)(d => (i * d).toFloat / 7f)))
+        .toDF("vec_id", "embedding")
+      val q = Similarity.lshTopK(vecs, vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 3), k = 2)
+      payloadFreeCandidateExchanges(q.queryExecution.executedPlan,
+        Set("table", "bucket"), Seq("emb", "q_emb", "v_emb"))
+      assert(q.count() >= 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("minhashPairs: texts too short for one shingle never pair (round-3 review)") {
+    // 'abcd' vs 'wxyz' share zero characters — the old empty-shingle
+    // signature made them a jaccard-1.0 pair (and m short docs an m²/2
+    // candidate clique at scale)
+    val df = docs(
+      1 -> "abcd", 2 -> "wxyz", 3 -> "", 4 -> "ab",
+      5 -> "a long enough real document with words",
+      6 -> "a long enough real document with words")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.0).collect()
+    val ids = pairs.map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(ids == Set((5, 6)), s"short docs paired: ${ids.mkString(",")}")
+  }
+
   test("bpeTokenCount: GPT-2-style pre-tokenization, native regexp_count vs kernel") {
     val cases = Seq(
       "Hello, world! It's 42" -> 7, // Hello | , |  world | ! |  It | 's |  42

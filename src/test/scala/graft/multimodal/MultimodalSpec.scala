@@ -84,6 +84,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.media_type == "image" && m.width == 8 && m.height == 8 && out.length == 12 + 64)
   }
 
+  test("corrupt headers never crash the kernels (round-3 review)") {
+    import java.nio.ByteBuffer
+    def payload(magic: String, ints: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + ints.length * 4 + 8)
+      b.put(magic.getBytes("US-ASCII")); ints.foreach(b.putInt); b.put(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+      b.array()
+    }
+    // GVID with w*h overflowing Int to negative: must pass through, not AIOOBE
+    val overflowVid = payload("GVID", 60000, 60000, 100)
+    val s = spark; import s.implicits._
+    val df = Seq((1L, overflowVid)).toDF("media_id", "payload")
+    val rows = Multimodal.sampleFrames(df, "payload").collect()
+    assert(rows.length == 1 && rows(0).getAs[Int]("frame_idx") == -1)
+    // negative n_frames: pass-through, not a silently deleted row
+    val negFrames = payload("GVID", 4, 4, -1)
+    val rows2 = Multimodal.sampleFrames(Seq((2L, negFrames)).toDF("media_id", "payload"), "payload").collect()
+    assert(rows2.length == 1 && rows2(0).getAs[Int]("frame_idx") == -1)
+    // GIMG with negative width: resize must not index payload(negative)
+    val negImg = payload("GIMG", -1, 16)
+    assert(Multimodal.resizeKernel(negImg, 8, 8).sameElements(negImg)) // pass-through
+    assert(Multimodal.resizeKernel(payload("GIMG", 16, 16), 0, 8)
+      .sameElements(payload("GIMG", 16, 16))) // non-positive target dims
+  }
+
   test("repartitionBySize balances bytes, not rows") {
     val df = MediaGen.table(spark, 400)
     val parts = Multimodal.repartitionBySize(df, "payload", 4)
