@@ -157,7 +157,9 @@ object SpellRepair {
   * (fixspell.pl:9) that is not part of the repo. */
 final class FixspellRepair(
     okWords: Set[String],
-    corrections: Seq[(String, String)] = SpellRepair.yiddishCorrections)
+    corrections: Seq[(String, String)] = SpellRepair.yiddishCorrections,
+    maxPartLength: Int = 64,
+    fixitNodeBudget: Int = 200000)
   extends Serializable {
 
   @transient private lazy val compiled: Seq[(java.util.regex.Pattern, String)] =
@@ -168,27 +170,49 @@ final class FixspellRepair(
 
   def ok(word: String): Boolean = okWords.contains(word)
 
-  /** fixit(word, where) — exact port. */
+  /** fixit(word, where) — exact port of the Perl's search. The Perl search
+    * is exponential in the number of consecutive correctable letters (both
+    * alef rules match at every alef, and the part-level memo caches only
+    * completed parts), so a crafted token of ~30 correctable letters would
+    * hang the task; `fixitNodeBudget` bounds the node count — when
+    * exhausted, remaining nodes answer "no fix found" (the word comes back
+    * unchanged, exactly the no-joy path). Real Yiddish words finish in a
+    * handful of nodes, so the budget is unreachable on conforming corpora
+    * (the Perl-differential golds pin that). */
   def fixit(word: String, where: Int): String = {
+    nodesLeft = fixitNodeBudget
+    fixitBounded(word, where)
+  }
+
+  @transient private var nodesLeft: Int = 0
+
+  private def fixitBounded(word: String, where: Int): String = {
     if (where >= word.length) return word
     if (ok(word)) return word
+    if (nodesLeft <= 0) return word // budget exhausted: adversarial input,
+    nodesLeft -= 1                  // behave as the no-fix-found path
     compiled.foreach { case (pat, replace) =>
       val m = pat.matcher(word)
       m.region(where, word.length)
       if (m.lookingAt()) { // \G$target anchored at `where`
         val cand = word.substring(0, where) + replace + word.substring(m.end)
         if (ok(cand)) return cand
-        val answer = fixit(cand, where + 1) // stack further fixes on this one
+        val answer = fixitBounded(cand, where + 1) // stack further fixes on this one
         if (answer != cand) return answer
         // else: no joy — revert to the unmodified word, try next correction
       }
     }
-    fixit(word, where + 1) // further fixes, but not this one
+    fixitBounded(word, where + 1) // further fixes, but not this one
   }
 
-  /** Correct one word part with the memo (doit lines 92-99). */
+  /** Correct one word part with the memo (doit lines 92-99). Parts longer
+    * than `maxPartLength` are returned unchanged (deliberate divergence
+    * from the unbounded Perl: a deep word also risks StackOverflowError,
+    * which escapes the extractor's NonFatal catch — real Yiddish words are
+    * far shorter, so the cap is unreachable on conforming corpora). */
   def fixWord(part: String): String = {
     if (ok(part)) return part
+    if (part.length > maxPartLength) return part
     val cached = memo.get(part)
     if (cached != null) return cached
     val better = fixit(part, 0)
@@ -199,10 +223,15 @@ final class FixspellRepair(
   // (?U): Perl's utf8 \w/\s are Unicode-aware; Java's default is ASCII-only
   private val sepClass = java.util.regex.Pattern.compile("(?U)[\\p{P}\\s]+")
   private val letter = java.util.regex.Pattern.compile("\\p{L}")
-  /** `(\w+)\u05BE$` — Unicode word chars + maqaf at end-of-line (doit:85);
-    * Java's default `$` matches before a final line terminator, same as
-    * Perl's without /m. */
-  private val hyphenEnd = java.util.regex.Pattern.compile("(?U)(\\w+)\u05BE$")
+  /** `(\w+)\u05BE$` — Unicode word chars + maqaf at end-of-line (doit:85). */
+  // Perl's `$` (without /m) matches only at end-of-string or before ONE
+  // final `\n`; Java's default `$` also matches before `\r\n`/`\r`, so a
+  // CRLF line `word\u05BE\r\n` would get its word hoisted to the next line
+  // here and not in the reference (ADVICE r3). The explicit `(?=\n?\z)`
+  // lookahead carries the Perl semantics exactly (lines from
+  // splitKeepingNewlines contain no interior `\n`); CRLF gold pinned
+  // differentially against the actual fixspell.pl in SpellRepairSpec.
+  private val hyphenEnd = java.util.regex.Pattern.compile("(?U)(\\w+)\u05BE(?=\n?\\z)")
   private val leadingWs = java.util.regex.Pattern.compile("(?U)^\\s*")
 
   /** One doit line: (remainderIn, line) -> (correctedLine, remainderOut). */

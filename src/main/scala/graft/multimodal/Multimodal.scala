@@ -116,7 +116,15 @@ object Multimodal {
         Seq((-1, payload))
       else {
         val header = 16L
-        (0 until meta.n_frames by stride).map { f =>
+        // clamp iteration to frames that actually FIT the payload (ADVICE
+        // r3): a hostile header with tiny frameBytes and n_frames =
+        // Int.MaxValue would otherwise materialize ~1e9 (f, emptyArray)
+        // tuples — OOM inside the UDF, escaping the pass-through-corrupt-
+        // rows contract. Frames past the payload are empty slices anyway,
+        // so nothing real is lost.
+        val maxF = ((payload.length - header + frameBytes - 1) / frameBytes)
+          .min(meta.n_frames.toLong).toInt
+        (0 until maxF by stride).map { f =>
           val start = (header + f * frameBytes).min(payload.length.toLong).toInt
           val end = (header + f * frameBytes + frameBytes)
             .min(payload.length.toLong).toInt

@@ -450,6 +450,17 @@ object AnswerKeys {
       try df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[answer-keys] $name failed: ${e.getMessage}")
+        // a PREVIOUS run's parquet may survive at the same per-sf auxDir
+        // (mode("overwrite") deletes only once the new write starts) — the
+        // oracle would then silently compare against STALE truth. Delete
+        // the key's directory so its oracle row reliably fails instead
+        // (ADVICE r3).
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$auxDir/$name"))
       }
 
     // x1–x4: GENERATION-TIME truth (FixtureGen's answer key, the byte-
@@ -654,7 +665,11 @@ object AnswerKeys {
     write("x13_video_frames", media.filter(_.media_type == "video").flatMap { m =>
       val meta = Multimodal.decodeMetaKernel(m.payload)
       val frameBytes = meta.width * meta.height
-      (0 until meta.n_frames by 2).map { f =>
+      // same payload-fit clamp as sampleFrames (no-op on well-formed
+      // MediaGen videos; keeps mirror semantics aligned on corrupt headers)
+      val maxF = math.min(meta.n_frames.toLong,
+        (m.payload.length - 16L + frameBytes - 1) / math.max(1L, frameBytes)).toInt
+      (0 until maxF by 2).map { f =>
         val start = 16 + f * frameBytes
         val end = math.min(start + frameBytes, m.payload.length)
         val lo = math.min(start, m.payload.length)

@@ -113,6 +113,39 @@ class SpellRepairSpec extends AnyFunSuite {
     assert(r.correctTextLossless("\u05DE\u05D0\u05DF \u05EA\u05D5\u05E8\u05D4\n\u05DB\u05DC\u05DC") == r.correctText("\u05DE\u05D0\u05DF \u05EA\u05D5\u05E8\u05D4\n\u05DB\u05DC\u05DC"))
   }
 
+  test("CRLF differential gold: $ must NOT match before \\r\\n (Perl semantics)") {
+    import graft.core.assemble.FixspellRepair
+    // gold = literal bytes from the actual /root/reference/fixspell.pl
+    // (perl 5, utf8, wordlist = {מאַן, מאַןטאָג}) on this CR-bearing input:
+    // Perl's `$` only matches before a final \n, so the \r BLOCKS the
+    // word+maqaf hoist — the word still repairs in place (\r is \s, a
+    // part separator) and the next line is NOT prefixed. Java's default
+    // `$` matches before \r\n too, which hoisted the word (ADVICE r3).
+    val r = new FixspellRepair(Set("מאַן", "מאַןטאָג"))
+    val in = "דער מאן־\r\nטאג מאן\n"
+    val gold = "דער מאַן־\r\nטאג מאַן\n"
+    assert(r.correctText(in) == gold)
+    // LF-only control: the hoist DOES fire and the joined word repairs
+    assert(r.correctText("דער מאן־\nטאג מאן\n") == "דער \nמאַןטאָג מאַן\n")
+  }
+
+  test("fixit: adversarial all-correctable words terminate (node budget + part cap)") {
+    import graft.core.assemble.FixspellRepair
+    val r = new FixspellRepair(yiOk)
+    // 30 consecutive alefs: both alef rules match at every position — the
+    // unbounded Perl search is ~3^30 nodes; the budget must cut it off and
+    // return the word unchanged (the no-fix-found answer) in bounded time
+    val alefs = "א" * 30
+    val t0 = System.nanoTime()
+    assert(r.fixWord(alefs) == alefs)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "budget did not bound the search")
+    // parts beyond maxPartLength skip the search entirely (StackOverflow guard)
+    val deep = "א" * 500
+    assert(r.fixWord(deep) == deep)
+    // memo: the second call is a cache hit (same answer)
+    assert(r.fixWord(alefs) == alefs)
+  }
+
   test("fixit: word-final alef is unfixable (lookahead needs a following char)") {
     import graft.core.assemble.FixspellRepair
     val r = new FixspellRepair(yiOk)

@@ -106,6 +106,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.resizeKernel(negImg, 8, 8).sameElements(negImg)) // pass-through
     assert(Multimodal.resizeKernel(payload("GIMG", 16, 16), 0, 8)
       .sameElements(payload("GIMG", 16, 16))) // non-positive target dims
+    // ADVICE r4: tiny frameBytes (1x1) + n_frames=Int.MaxValue passes the
+    // one-frame-fits guard but must NOT materialize ~1e9 tuples — frames
+    // are clamped to those that fit the payload (8 bytes → 8 frames, 4 kept)
+    val bomb = payload("GVID", 1, 1, Int.MaxValue)
+    val rows3 = Multimodal.sampleFrames(Seq((3L, bomb)).toDF("media_id", "payload"), "payload")
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(rows3.toSeq == Seq(0, 2, 4, 6), s"got ${rows3.mkString(",")}")
   }
 
   test("repartitionBySize balances bytes, not rows") {
