@@ -31,6 +31,22 @@ object NativeKernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** True iff the text contains at least one simhash token — i.e. any
+    * non-whitespace char under the SAME tokenizer simhashKernel uses
+    * (Character.isWhitespace). Token-less texts all hash to sig 0L, so
+    * [[Dedup.simhashPairs]] must give them NO chunks (degenerate-clique
+    * guard, VERDICT r3 #1). */
+  def hasTokens(s: UTF8String): Boolean = {
+    if (s == null) return false
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      if (!Character.isWhitespace(str.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
   /** Whole-kernel extraction as a scalar function: html bytes + lang →
     * extracted text ("" on failure). Pure SQL pipelines can then run
     * `SELECT graft_extract(html, lang) FROM web_pages`. */
@@ -65,4 +81,5 @@ object NativeFunctions {
   def fingerprint64(c: Column): Column = invoke("fingerprint64", LongType, c)
   def langId(c: Column): Column = invoke("langId", StringType, c)
   def hamming64(a: Column, b: Column): Column = invoke("hamming64", IntegerType, a, b)
+  def hasTokens(c: Column): Column = invoke("hasTokens", BooleanType, c)
 }

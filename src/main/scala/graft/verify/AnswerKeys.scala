@@ -378,7 +378,9 @@ object AnswerKeys {
   private def lshBuckets(
       vecs: Seq[(Long, Array[Float])], nBits: Int, tables: Int): Map[(Int, Int), Seq[Long]] = {
     val m = new mutable.HashMap[(Int, Int), mutable.ArrayBuffer[Long]]()
-    vecs.foreach { case (id, v) =>
+    // zero-norm vectors skip bucketing (mirrors the engine's clique guard;
+    // different structure: forall vs the engine's exists)
+    vecs.filterNot { case (_, v) => v == null || v.forall(_ == 0f) }.foreach { case (id, v) =>
       var t = 0
       while (t < tables) {
         val bucket = lshBucketMirror(v, nBits, 0x5EED0000L + t)
@@ -524,7 +526,12 @@ object AnswerKeys {
         .map { case (a, b, j) => KPair(a, b, j) }.toDS().toDF())
 
     write("x18_simhash_pairs", {
-      val sigs = dd.map { case (id, t) => (id, simhashMirror(t)) }
+      // token-less texts generate no chunks (mirrors the engine's
+      // degenerate-sig-0 clique guard; different structure: forall vs the
+      // kernel's early-exit scan)
+      val sigs = dd.filter { case (_, t) =>
+        t != null && !t.forall(Character.isWhitespace)
+      }.map { case (id, t) => (id, simhashMirror(t)) }
       val byChunk = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Int]]()
       sigs.zipWithIndex.foreach { case ((_, sig), idx) =>
         var c = 0

@@ -248,6 +248,54 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivfTopK: NO embedding rides the list-join exchange (round-4 refit)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = spark; import s.implicits._
+      val vecs = (0 until 32).map(i => (i.toLong, Array.tabulate(8)(d => (i * d).toFloat / 7f + 1f)))
+        .toDF("vec_id", "embedding")
+      val q = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3), k = 2,
+        nLists = 4, nProbe = 2)
+      payloadFreeCandidateExchanges(q.queryExecution.executedPlan,
+        Set("list"), Seq("emb", "q_emb", "v_emb"))
+      assert(q.count() >= 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
+    // every empty/whitespace-only text hashes to sig 0L — all four chunks
+    // collide, so m such docs formed one m²/2 candidate clique at web scale
+    val df = docs(
+      1 -> "", 2 -> "   ", 3 -> "\t\n   ", 4 -> null.asInstanceOf[String],
+      5 -> ("identical non-empty text about spark " * 3),
+      6 -> ("identical non-empty text about spark " * 3))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3).collect()
+    val ids = pairs.map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(ids == Set((5, 6)), s"token-less docs paired: ${ids.mkString(",")}")
+  }
+
+  test("LSH bucketing: zero-norm vectors produce no candidates (round-4 clique guard)") {
+    val zero = Seq.fill(8)(0f)
+    val real = (0 until 6).map(i => (10L + i, Seq.tabulate(8)(d => (i + d + 1).toFloat)))
+    val df = vecs((Seq(1L -> zero, 2L -> zero) ++ real): _*)
+    // dedup flavor at threshold 0.0 (cosine(0,·)=0 would pass) — the zero
+    // vectors must be absent from candidate generation entirely
+    val pairIds = Similarity.embeddingNearDupPairs(df, threshold = 0.0)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!pairIds.contains(1L) && !pairIds.contains(2L), s"zero vecs paired: $pairIds")
+    // top-k flavor: a zero-norm query matches nothing; zero-norm vectors
+    // are never returned as neighbors
+    val got = Similarity.lshTopK(df, vecs(1L -> zero), k = 3)
+    assert(got.count() == 0)
+    val neighbors = Similarity.lshTopK(df, vecs((20L, real.head._2)), k = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(!neighbors.contains(1L) && !neighbors.contains(2L))
+  }
+
   test("minhashPairs: texts too short for one shingle never pair (round-3 review)") {
     // 'abcd' vs 'wxyz' share zero characters — the old empty-shingle
     // signature made them a jaccard-1.0 pair (and m short docs an m²/2
