@@ -27,9 +27,10 @@ import scala.collection.mutable
   * second implementations (the `*Mirror` section below — bit-equivalence
   * vs the engine kernels pinned in MirrorIndependenceSpec), on top of the
   * exact mirrors of the Spark-native column arithmetic (quality score,
-  * cosine, round). Still shared by design: the media codec stubs (the stub
-  * IS the spec) and the IVF quantizer (the trained model is the shared
-  * artifact; assignment/probing/scoring are mirrored).
+  * cosine, round). Since round 4 the IVF quantizer is mirrored too
+  * (trainer + assignment + probing — [[trainIvfCentroidsMirror]]); the
+  * ONLY remaining shared artifacts are the declared media codec stubs
+  * (the stub IS the spec).
   *
   * Scale note: keys are test artifacts for the sf0.01/sf0.1 correctness
   * gate — collect() here is deliberate and bounded; nothing in this file
@@ -325,6 +326,93 @@ object AnswerKeys {
       if (dot >= 0) bucket | (1 << b) else bucket
     }
 
+  /** Mirror of the engine's host derivation
+    * `coalesce(try_parse_url(url, 'HOST'), "")` via the SAME public
+    * contract Spark's ParseUrl implements — `new java.net.URI(url)
+    * .getHost`, with syntax errors and missing hosts coalesced to "".
+    * Replaces the round-3 indexOf-based parse that silently assumed
+    * scheme://host/path shapes (no userinfo/port) — parity across
+    * userinfo/port/schemeless/invalid shapes is pinned property-style in
+    * FunctionsSpec. */
+  def hostOf(url: String): String = {
+    val h =
+      try new java.net.URI(url).getHost
+      catch { case _: java.net.URISyntaxException => null }
+    if (h == null) "" else h
+  }
+
+  /** XXH64 of one 8-byte long, seed 42 — the spec of Spark's
+    * `xxhash64(longCol)` (public xxHash algorithm: one 8-byte round into
+    * the short-input accumulator, then the avalanche). Independent
+    * re-implementation for the IVF training-sample mirror; bit-equality
+    * vs the Spark expression is pinned in MirrorIndependenceSpec. */
+  def xxh64LongMirror(value: Long, seed: Long = 42L): Long = {
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    var h = seed + P5 + 8L
+    h ^= java.lang.Long.rotateLeft(value * P2, 31) * P1
+    h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  /** IVF coarse-quantizer trainer, mirrored (VERDICT r3 #3 — the x16 key
+    * previously called Similarity.trainIvfCentroids itself, so a trainer
+    * bug would have reproduced in the truth). Same SPEC: training set =
+    * the `trainSample` rows with the smallest (xxhash64(id), id) — here
+    * via [[xxh64LongMirror]] and a plain sort, vs the engine's distributed
+    * TakeOrdered — Lloyd seeded with k evenly spaced sample points, empty
+    * list keeps its centroid. IEEE accumulation ORDER matches by design
+    * (sample order within each list, ascending dims — the order IS part of
+    * the spec, as with lshBucketMirror); STRUCTURE differs (groupBy +
+    * per-list folds vs interleaved while-loop sums). Centroid
+    * bit-equality vs the engine trainer is pinned in
+    * MirrorIndependenceSpec. */
+  def trainIvfCentroidsMirror(
+      vecs: Seq[(Long, Array[Float])], nLists: Int,
+      trainSample: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
+    val sample = vecs
+      .map { case (id, v) => ((xxh64LongMirror(id), id), v) }
+      .sortBy(_._1)
+      .take(trainSample)
+      .map(_._2.map(_.toDouble))
+    require(sample.nonEmpty, "ivf training sample is empty")
+    val k = math.min(nLists, sample.length)
+    val dim = sample.head.length
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      (0 until math.min(a.length, b.length)).foldLeft(0.0) { (acc, j) =>
+        val t = a(j) - b(j); acc + t * t
+      }
+    val init = (0 until k).map(c => sample((c.toLong * sample.length / k).toInt).clone()).toArray
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val byList = sample.groupBy(v => cents.indices.minBy(c => sq(v, cents(c))))
+      Array.tabulate(k) { c =>
+        byList.get(c) match {
+          case None => cents(c) // empty list keeps its centroid
+          case Some(vs) =>
+            val s = new Array[Double](dim)
+            vs.foreach(v => (0 until math.min(v.length, dim)).foreach(j => s(j) += v(j)))
+            s.map(_ / vs.length)
+        }
+      }
+    }
+  }
+
+  /** n nearest centroid indices by squared L2, mirrored (assignment /
+    * probing spec: stable ties → lower index; float operands widen before
+    * the subtract, ascending-dim accumulation). */
+  def nearestCentroidsMirror(v: Array[Float], cs: Array[Array[Double]], n: Int): Seq[Int] =
+    cs.indices
+      .map { ci =>
+        val c = cs(ci)
+        (ci, (0 until math.min(v.length, c.length)).foldLeft(0.0) { (acc, j) =>
+          val t = v(j) - c(j); acc + t * t
+        })
+      }
+      .sorted(Ordering.by((p: (Int, Double)) => (p._2, p._1)))
+      .take(n).map(_._1)
+
   // ---------- single-node re-implementations of the distributed ops ------
 
   /** MinHash LSH pairs, single-node: hash-map banding stands in for the
@@ -486,17 +574,6 @@ object AnswerKeys {
       K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
     }.toSeq.sortBy(_.failure).toDS().toDF())
 
-    // mirror of the url-host derivation for WELL-FORMED scheme://host/path
-    // urls (all FixtureGen emits). NOT equivalent to parse_url on urls with
-    // userinfo/port/no scheme — if fixture url shapes ever grow those, this
-    // must switch to a java.net.URI-based parse (round-3 review note).
-    def hostOf(url: String): String = {
-      val i = url.indexOf("://")
-      val start = if (i >= 0) i + 3 else 0
-      var end = start
-      while (end < url.length && url.charAt(end) != '/' && url.charAt(end) != '?' && url.charAt(end) != '#') end += 1
-      url.substring(start, end)
-    }
     write("x21_host_stats", fx.groupBy(f => hostOf(f.url)).map { case (h, fs) =>
       K21(h, fs.size.toLong,
         fs.count(_.expected.failure == "ok").toLong,
@@ -623,16 +700,18 @@ object AnswerKeys {
     })
 
     write("x16_ivf_ann", {
-      // the quantizer is the shared MODEL (trained once, deterministically);
-      // assignment/probing/scoring are mirrored single-node
-      val cs = Similarity.trainIvfCentroids(
-        spark.read.parquet(s"$d/embeddings.parquet"), nLists = 8)
+      // quantizer, assignment and probing ALL mirrored since round 4
+      // (VERDICT r3 #3: the trainer was the last shared non-stub artifact
+      // in the oracle); bit-equality engine-vs-mirror is pinned in
+      // MirrorIndependenceSpec, so the trained model is re-derived, not
+      // shared
+      val cs = trainIvfCentroidsMirror(ee.toSeq, nLists = 8)
       val assign = ee.map { case (id, v) =>
-        (id, Similarity.nearestCentroids(v.toSeq, cs, 1).head)
+        (id, nearestCentroidsMirror(v, cs, 1).head)
       }.toMap
       val cand = new mutable.HashSet[(Long, Long)]()
       queries.foreach { case (q, qv) =>
-        val probes = Similarity.nearestCentroids(qv.toSeq, cs, 3).toSet
+        val probes = nearestCentroidsMirror(qv, cs, 3).toSet
         ee.foreach { case (v, _) =>
           if (v != q && probes.contains(assign(v))) cand += ((q, v))
         }

@@ -359,6 +359,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"recall@$k: lsh=$lsh%.3f ivf=$ivf%.3f (brute-force exact)")
   }
 
+  test("AnswerKeys.hostOf == hostCol (try_parse_url) across url shapes (round-4)") {
+    import graft.verify.AnswerKeys
+    val s = spark; import s.implicits._
+    val urls = Seq(
+      "https://example.com/path", "http://host.example.com/a/b?q=1#f",
+      "https://user:pw@example.com/x",          // userinfo
+      "https://example.com:8443/x",             // port
+      "https://user@example.com:9090/x?a=b#c",  // both
+      "example.com/no-scheme", "//protocol-relative.example.com/x",
+      "https://UPPER.Example.COM/x", "ftp://files.example.com/f.bin",
+      "https://example.com", "https://example.com?q=1", "https://example.com#f",
+      "not a url at all", "", "https://", "mailto:user@example.com",
+      "https://sub.do-main.example.co.uk/deep/path/x.html",
+      "https://127.0.0.1:8080/x", "https://[2001:db8::1]:443/x") ++
+      (0 until 50).map(i => graft.fixtures.FixtureGen.fixtureAt(42L, i.toLong).url)
+    val got = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("i", "url")
+      .select(col("i"), graft.spark.ExtractPipeline.hostCol(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    urls.zipWithIndex.foreach { case (u, i) =>
+      assert(AnswerKeys.hostOf(u) == got(i.toLong), s"hostOf diverged on '$u'")
+    }
+  }
+
   test("AnswerKeys mirrors are bit-exact vs the native expressions on adversarial inputs") {
     import graft.verify.AnswerKeys
     val s = spark; import s.implicits._

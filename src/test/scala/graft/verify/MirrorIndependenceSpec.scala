@@ -114,6 +114,54 @@ class MirrorIndependenceSpec extends AnyFunSuite {
       graft.functions.Similarity.lshBucketKernel(Seq.fill(8)(0f), 8, 0x5EED0000L))
   }
 
+  test("xxh64LongMirror == Spark xxhash64(longCol) bit-for-bit") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("mirror-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val rng = new scala.util.Random(123L)
+    val ids = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L) ++
+      (1 to 200).map(_ => rng.nextLong())
+    val got = ids.toDF("id").select(col("id"), xxhash64(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(AnswerKeys.xxh64LongMirror(id) == got(id),
+      s"xxh64 diverged on $id"))
+  }
+
+  test("trainIvfCentroidsMirror == Similarity.trainIvfCentroids bit-for-bit") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("mirror-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val rng = new scala.util.Random(456L)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(12)((rng.nextFloat() - 0.5f) * 3f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // trainSample below n (real subsetting) and above (whole set)
+    Seq(50, 10000).foreach { ts =>
+      val engine = graft.functions.Similarity.trainIvfCentroids(
+        df, nLists = 8, trainSample = ts)
+      val mirror = AnswerKeys.trainIvfCentroidsMirror(vecs, nLists = 8, trainSample = ts)
+      assert(engine.length == mirror.length)
+      engine.zip(mirror).zipWithIndex.foreach { case ((e, m), c) =>
+        assert(e.length == m.length, s"centroid $c dim")
+        e.zip(m).foreach { case (x, y) =>
+          assert(java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y), s"centroid $c diverged (ts=$ts)")
+        }
+      }
+    }
+    // assignment/probe mirror agrees with the engine's on the same model
+    val cs = AnswerKeys.trainIvfCentroidsMirror(vecs, nLists = 8)
+    vecs.foreach { case (_, v) =>
+      assert(AnswerKeys.nearestCentroidsMirror(v, cs, 3) ==
+        graft.functions.Similarity.nearestCentroids(v.toSeq, cs, 3))
+    }
+  }
+
   test("null handling matches") {
     assert(AnswerKeys.simhashMirror(null) == Dedup.simhashKernel(null))
     assert(AnswerKeys.fingerprintMirror(null) == TextAnalysis.fingerprintKernel(null))
