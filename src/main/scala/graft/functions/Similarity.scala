@@ -255,15 +255,17 @@ object Similarity {
       .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("bucket", bucketUdf(col("emb"), col("table")))
       .select("table", "bucket", "id")
-    val l = b.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val r = b.select(col("table"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // self-joins via alias (rename AFTER): identical child plans → one
+    // exchange + ReusedExchange per pair of sides, the bucket kernel and
+    // the embedding scan each run once (round-4; see Dedup.minhashPairs)
+    b.as("l")
+      .join(b.as("r"), col("l.table") === col("r.table") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .join(base.as("ea"), col("id_a") === col("ea.id"))
+      .join(base.as("eb"), col("id_b") === col("eb.id"))
+      .withColumn("sim", cosine(col("ea.emb"), col("eb.emb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }

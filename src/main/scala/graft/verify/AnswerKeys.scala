@@ -506,6 +506,8 @@ object AnswerKeys {
   final case class K14(doc_id: Long, len_delta: Int, head40: String)
   final case class K15(id_a: Long, id_b: Long, sim: Double)
   final case class K17(extracted_ok: Long, qualified: Long, exact_deduped: Long, final_docs: Long)
+  final case class K24(runs: Long, resumed_docs: Long, extracted_ok: Long,
+      qualified: Long, exact_deduped: Long, final_docs: Long)
   final case class K18(id_a: Long, id_b: Long, hamming: Int)
   final case class K19(media_id: Long, n_bytes: Int, md5: String)
   final case class K20(doc_id: Long, bpe_tokens: Int)
@@ -766,21 +768,39 @@ object AnswerKeys {
     // x17: the whole funnel re-derived single-node (extraction kernel on
     // generated pages + mirrored quality/dedup/near-dup composition)
     write("x17_training_pipeline", {
-      val n17 = math.min(n, 3000L)
-      val extractor = new Extractor()
-      val extracted = (0L until n17).map(i => FixtureGen.fixtureAt(42L, i))
-        .map(f => (f.url, extractor.extract(f.url, f.html, f.lang)))
-        .filter(_._2.failure == "ok")
-        .map { case (url, r) => (url, r.text) }
-      val qualified = extracted.filter { case (_, t) => quality(t) >= 0.5 }
-      val exactDeduped = qualified.groupBy(_._2).map { case (_, rows) =>
-        rows.minBy(_._1)
-      }.toSeq
-      val dropped = minhashPairsMirror(exactDeduped, shingleK = 5, bands = 16,
-        rowsPerBand = 4, threshold = 0.8).map(_._2).toSet
-      val finalDocs = exactDeduped.filterNot { case (url, _) => dropped(url) }
-      Seq(K17(extracted.size.toLong, qualified.size.toLong,
-        exactDeduped.size.toLong, finalDocs.size.toLong)).toDS().toDF()
+      val k = funnelMirror(math.min(n, 3000L))
+      Seq(k).toDS().toDF()
     })
+
+    // x24: the STAGED funnel (extract → committed tables → dedup table →
+    // report) must land on the SAME funnel counts as the in-memory x17 —
+    // plus the resume protocol facts: exactly 2 committed runs, run 2
+    // extracting only the pending half (generation-time arithmetic)
+    write("x24_staged_funnel", {
+      val n24 = math.min(n, 3000L)
+      val k = funnelMirror(n24)
+      Seq(K24(2L, n24 - n24 / 2, k.extracted_ok, k.qualified,
+        k.exact_deduped, k.final_docs)).toDS().toDF()
+    })
+  }
+
+  /** Single-node mirror of the x17/x24 prep funnel: extraction kernel on
+    * generated pages + mirrored quality/exact-dedup/near-dup composition
+    * (never the distributed plan). */
+  private def funnelMirror(n17: Long): K17 = {
+    val extractor = new Extractor()
+    val extracted = (0L until n17).map(i => FixtureGen.fixtureAt(42L, i))
+      .map(f => (f.url, extractor.extract(f.url, f.html, f.lang)))
+      .filter(_._2.failure == "ok")
+      .map { case (url, r) => (url, r.text) }
+    val qualified = extracted.filter { case (_, t) => quality(t) >= 0.5 }
+    val exactDeduped = qualified.groupBy(_._2).map { case (_, rows) =>
+      rows.minBy(_._1)
+    }.toSeq
+    val dropped = minhashPairsMirror(exactDeduped, shingleK = 5, bands = 16,
+      rowsPerBand = 4, threshold = 0.8).map(_._2).toSet
+    val finalDocs = exactDeduped.filterNot { case (url, _) => dropped(url) }
+    K17(extracted.size.toLong, qualified.size.toLong,
+      exactDeduped.size.toLong, finalDocs.size.toLong)
   }
 }

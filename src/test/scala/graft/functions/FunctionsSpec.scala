@@ -266,6 +266,31 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pair generators: self-join sides share ONE exchange (ReusedExchange, round-4)") {
+    // the rename-then-join shape made the two self-join sides different
+    // plans, so the signature kernel + its input subtree ran TWICE; with
+    // rename-after-join the sides canonicalize equal and Spark reuses the
+    // left exchange for the right
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val df = docs((1 to 40).map(i => i -> s"document number $i with some shared words and tail $i"): _*)
+      val mh = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.1)
+      assert(mh.queryExecution.executedPlan.collect {
+        case r: ReusedExchangeExec => r }.nonEmpty,
+        s"minhashPairs self-join did not reuse an exchange:\n${mh.queryExecution.executedPlan}")
+      val sh = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 12)
+      assert(sh.queryExecution.executedPlan.collect {
+        case r: ReusedExchangeExec => r }.nonEmpty,
+        s"simhashPairs self-join did not reuse an exchange:\n${sh.queryExecution.executedPlan}")
+      assert(mh.count() >= 0 && sh.count() >= 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
     // every empty/whitespace-only text hashes to sig 0L — all four chunks
     // collide, so m such docs formed one m²/2 candidate clique at web scale
