@@ -22,6 +22,40 @@ object SparkEntry {
   private def aux(name: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet('${graft.verify.AnswerKeys.auxDir}/$name/*.parquet') ORDER BY $order"
 
+  /** Shared funnel stages for x17/x24 — the oracle pins BOTH queries to
+    * the same generation-time funnel mirror, so the plans must not drift
+    * apart (round-4 review). Input: (url, text, quality).
+    *
+    * is_rep is computed IN the dedup window rather than by joining the
+    * deduped frame back: ordering qualified rows first makes
+    * rank-1-and-qualified ≡ "min-url qualified representative of this
+    * text" — one window pass instead of a window + a corpus-wide join. */
+  private def funnelFlags(withQuality: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+      .orderBy(col("is_qualified").desc, col("url"))
+    withQuality
+      .withColumn("is_qualified", col("quality") >= 0.5)
+      .withColumn("is_rep", col("is_qualified") && row_number().over(w) === 1)
+  }
+
+  /** Near-dup drop + the 4-way conditional aggregation over the flags
+    * frame (ONE action). `dropped` stays a plain left join: AQE
+    * broadcasts it when small (bench scale) and shuffles it when the
+    * near-dup-dropped set is corpus-sized (10^12 scale) — the strategy
+    * must stay runtime-chosen, not hardcoded. */
+  private def funnelCounts(flags: DataFrame): org.apache.spark.sql.Row = {
+    val reps = flags.filter(col("is_rep")).select("url", "text")
+    val dropped = Dedup.minhashPairs(reps, "url", "text", threshold = 0.8)
+      .select(col("id_b").as("url")).distinct()
+      .withColumn("is_dropped", lit(true))
+    flags.join(dropped, Seq("url"), "left").agg(
+      count(lit(1)).as("extracted_ok"),
+      sum(when(col("is_qualified"), 1L).otherwise(0L)).as("qualified"),
+      sum(when(col("is_rep"), 1L).otherwise(0L)).as("exact_deduped"),
+      sum(when(col("is_rep") && col("is_dropped").isNull, 1L).otherwise(0L))
+        .as("final_docs")).collect()(0)
+  }
+
   /** Flagship: full extraction pipeline over the synthetic web corpus. */
   def entry(spark: SparkSession): DataFrame =
     ExtractPipeline.extract(spark, Corpus.pages(spark, 500)).toDF()
@@ -264,31 +298,7 @@ object SparkEntry {
         .withColumn("lang_pred", NativeFunctions.langId(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // is_rep computed IN the dedup window rather than by joining the
-        // deduped frame back (round-4): ordering qualified rows first
-        // makes rank-1-and-qualified ≡ "min-url qualified representative
-        // of this text" — one window pass replaces a window + a
-        // corpus-wide join. `dropped` stays a plain left join: AQE
-        // broadcasts it when small (bench scale) and shuffles it when the
-        // near-dup-dropped set is corpus-sized (10^12 scale) — the
-        // strategy must stay runtime-chosen, not hardcoded.
-        val w = Window.partitionBy(md5(col("text")))
-          .orderBy(col("is_qualified").desc, col("url"))
-        val flagged0 = extracted
-          .withColumn("is_qualified", col("quality") >= 0.5)
-          .withColumn("is_rep",
-            col("is_qualified") && row_number().over(w) === 1)
-        val reps = flagged0.filter(col("is_rep")).select("url", "text")
-        val dropped = Dedup.minhashPairs(reps, "url", "text", threshold = 0.8)
-          .select(col("id_b").as("url")).distinct()
-          .withColumn("is_dropped", lit(true))
-        val flagged = flagged0.join(dropped, Seq("url"), "left")
-        val r = flagged.agg(
-          count(lit(1)).as("extracted_ok"),
-          sum(when(col("is_qualified"), 1L).otherwise(0L)).as("qualified"),
-          sum(when(col("is_rep"), 1L).otherwise(0L)).as("exact_deduped"),
-          sum(when(col("is_rep") && col("is_dropped").isNull, 1L).otherwise(0L))
-            .as("final_docs")).collect()(0)
+        val r = funnelCounts(funnelFlags(extracted))
         import s.implicits._
         Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           .toDF("extracted_ok", "qualified", "exact_deduped", "final_docs")
@@ -421,37 +431,15 @@ object SparkEntry {
           .filter(col("failure") === "ok")
           .select("url", "text")
           .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        val w = Window.partitionBy(md5(col("text")))
-          .orderBy(col("is_qualified").desc, col("url"))
-        val flagged0 = extracted
-          .withColumn("is_qualified", col("quality") >= 0.5)
-          .withColumn("is_rep",
-            col("is_qualified") && row_number().over(w) === 1)
         // stage 2: the dedup-flags table is materialized; stage 3 reads it
-        flagged0.write.mode("overwrite").parquet(s"$dir/funnel_flags")
-        val flags = s.read.parquet(s"$dir/funnel_flags")
-        val reps = flags.filter(col("is_rep")).select("url", "text")
-        val dropped = Dedup.minhashPairs(reps, "url", "text", threshold = 0.8)
-          .select(col("id_b").as("url")).distinct()
-          .withColumn("is_dropped", lit(true))
-        val r = flags.join(dropped, Seq("url"), "left").agg(
-          count(lit(1)).as("extracted_ok"),
-          sum(when(col("is_qualified"), 1L).otherwise(0L)).as("qualified"),
-          sum(when(col("is_rep"), 1L).otherwise(0L)).as("exact_deduped"),
-          sum(when(col("is_rep") && col("is_dropped").isNull, 1L).otherwise(0L))
-            .as("final_docs")).collect()(0)
+        funnelFlags(extracted).write.mode("overwrite").parquet(s"$dir/funnel_flags")
+        val r = funnelCounts(s.read.parquet(s"$dir/funnel_flags"))
         import s.implicits._
         Seq((r2.runId + 1, r2.newDocs, r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3)))
           .toDF("runs", "resumed_docs", "extracted_ok", "qualified",
             "exact_deduped", "final_docs")
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }
+      } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
     }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}

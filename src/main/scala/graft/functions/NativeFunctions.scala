@@ -38,11 +38,28 @@ object NativeKernels {
     * guard, VERDICT r3 #1). */
   def hasTokens(s: UTF8String): Boolean = {
     if (s == null) return false
-    val str = s.toString
+    // scan raw UTF-8 bytes first: any ASCII non-whitespace byte decides
+    // without materializing a String (this guard runs over the whole
+    // corpus ahead of the signature kernel). Only a text whose leading
+    // ASCII chars are all whitespace up to a multi-byte char pays the
+    // decode (non-ASCII whitespace like U+2028 exists, so bytes alone
+    // can't prove the negative).
+    val n = s.numBytes
     var i = 0
-    while (i < str.length) {
-      if (!Character.isWhitespace(str.charAt(i))) return true
-      i += 1
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) {
+        if (!Character.isWhitespace(b.toChar)) return true
+        i += 1
+      } else {
+        val str = s.toString
+        var j = 0
+        while (j < str.length) {
+          if (!Character.isWhitespace(str.charAt(j))) return true
+          j += 1
+        }
+        return false
+      }
     }
     false
   }

@@ -26,8 +26,10 @@ object X17Probe {
           graft.SparkEntry.queries("x17_training_pipeline")(spark, sfDir).count()
         }
       }
-      // components
+      // components — mirror the CURRENT x17 shape (round-4: is_rep inside
+      // the dedup window; near-dup over the rep slice of the same frame)
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val n = math.min(graft.spark.Corpus.docsForSf(sfDir), 3000L)
       val extracted = graft.spark.ExtractPipeline
         .extract(spark, graft.spark.Corpus.pages(spark, n)).toDF()
@@ -37,10 +39,14 @@ object X17Probe {
         .withColumn("lang_pred", graft.functions.NativeFunctions.langId(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("extract+persist") { extracted.count() }
-      val qualified = extracted.filter(col("quality") >= 0.5)
-      val exactDeduped = graft.functions.Dedup.exactDedup(qualified, "url", "text")
-      time("exactDedup count") { exactDeduped.count() }
-      val pairs = graft.functions.Dedup.minhashPairs(exactDeduped, "url", "text", threshold = 0.8)
+      val w = Window.partitionBy(md5(col("text")))
+        .orderBy(col("is_qualified").desc, col("url"))
+      val flags = extracted
+        .withColumn("is_qualified", col("quality") >= 0.5)
+        .withColumn("is_rep", col("is_qualified") && row_number().over(w) === 1)
+      time("funnel flags (window) count") { flags.count() }
+      val reps = flags.filter(col("is_rep")).select("url", "text")
+      val pairs = graft.functions.Dedup.minhashPairs(reps, "url", "text", threshold = 0.8)
       time("minhashPairs count") { pairs.count() }
       time("x17 full again (cached corpus gen)") {
         graft.SparkEntry.queries("x17_training_pipeline")(spark, sfDir).count()

@@ -335,6 +335,7 @@ object AnswerKeys {
     * userinfo/port/schemeless/invalid shapes is pinned property-style in
     * FunctionsSpec. */
   def hostOf(url: String): String = {
+    if (url == null) return "" // engine: try_parse_url(null) -> null -> ""
     val h =
       try new java.net.URI(url).getHost
       catch { case _: java.net.URISyntaxException => null }
@@ -547,12 +548,7 @@ object AnswerKeys {
         // oracle would then silently compare against STALE truth. Delete
         // the key's directory so its oracle row reliably fails instead
         // (ADVICE r3).
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"$auxDir/$name"))
+        graft.FsUtil.deleteRecursively(new java.io.File(s"$auxDir/$name"))
       }
 
     // x1–x4: GENERATION-TIME truth (FixtureGen's answer key, the byte-

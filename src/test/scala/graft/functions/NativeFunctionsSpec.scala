@@ -61,6 +61,25 @@ class NativeFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!explained.toLowerCase.contains("batchevalpython"))
   }
 
+  test("hasTokens: byte-scan fast path == isWhitespace semantics (incl. unicode ws)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String) = NativeKernels.hasTokens(UTF8String.fromString(s))
+    val cases = Seq(
+      "" -> false, "   " -> false, "\t\n\r" -> false,
+      "a" -> true, "  a" -> true, "  a  " -> true,
+      "  " -> false,      // unicode line/para separators ARE whitespace
+      "   　 " -> false,   // ideographic space too
+      " " -> true,             // NBSP is NOT whitespace
+      "   x" -> true,          // ws prefix then a real char after decode
+      "שלום" -> true, "" -> false) // file/group separators are ws
+    cases.foreach { case (s, want) =>
+      assert(k(s) == want, s"hasTokens('${s.take(20)}') != $want")
+      // spec: hasTokens ≡ exists-non-isWhitespace (the simhash tokenizer)
+      assert(k(s) == s.exists(c => !Character.isWhitespace(c)))
+    }
+    assert(!NativeKernels.hasTokens(null))
+  }
+
   test("hamming64 native") {
     val s = spark; import s.implicits._
     val df = Seq((0xFFL, 0x0FL)).toDF("a", "b")
