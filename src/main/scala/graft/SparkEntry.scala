@@ -441,6 +441,37 @@ object SparkEntry {
             "exact_deduped", "final_docs")
       } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
     }),
+    "x25_streaming_extract" -> ((s, d) => {
+      // Structured Streaming made driver-visible (round-4; previously
+      // golden-gated only): the SAME kernel through readStream →
+      // AvailableNow → exactly-once parquet file sink, in TWO drains with
+      // new files landing in between — the second drain's checkpoint must
+      // process ONLY the new files (a re-process would double the counts
+      // and go red against the generation-time taxonomy truth).
+      import graft.streaming.StreamingExtract
+      val n = math.min(Corpus.docsForSf(d), 2000L)
+      val shm = new java.io.File("/dev/shm")
+      val dir = (if (shm.isDirectory && shm.canWrite)
+          java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x25_")
+        else java.nio.file.Files.createTempDirectory("graft_x25_")).toString
+      try {
+        val inDir = s"$dir/pages"
+        Corpus.pagesRange(s, 0L, n / 2).write.mode("append").parquet(inDir)
+        StreamingExtract.run(s, inDir, s"$dir/out", s"$dir/ckpt").awaitTermination()
+        Corpus.pagesRange(s, n / 2, n).write.mode("append").parquet(inDir)
+        StreamingExtract.run(s, inDir, s"$dir/out", s"$dir/ckpt").awaitTermination()
+        // taxonomy over the union of both drains (the file sink's
+        // _spark_metadata commit log makes this batch read exactly-once),
+        // collected eagerly: the temp dir is deleted on exit
+        import s.implicits._
+        s.read.parquet(s"$dir/out")
+          .groupBy("failure")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .orderBy("failure")
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("failure", "n", "chars")
+      } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -564,6 +595,7 @@ object SparkEntry {
     "x23_fixspell" -> aux("x23_fixspell", "line_id, repaired", "line_id"),
     "x24_staged_funnel" -> aux("x24_staged_funnel",
       "runs, resumed_docs, extracted_ok, qualified, exact_deduped, final_docs", "runs"),
+    "x25_streaming_extract" -> aux("x25_streaming_extract", "failure, n, chars", "failure"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -15,10 +15,18 @@ object Corpus {
       expected_text: String, expected_failure: String)
 
   /** The web_pages input table (BASELINE.json input_hint shape). */
-  def pages(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): DataFrame = {
+  def pages(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): DataFrame =
+    pagesRange(spark, 0L, n, seed, partitions)
+
+  /** An index slice of the same deterministic corpus — for staging
+    * incremental arrivals (a second batch of pages "landing" after a
+    * first drain) without regenerating or filtering the full range. */
+  def pagesRange(
+      spark: SparkSession, from: Long, until: Long,
+      seed: Long = 42L, partitions: Int = 0): DataFrame = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-    spark.range(0L, n, 1L, parts).map { i =>
+    spark.range(from, until, 1L, parts).map { i =>
       val f = FixtureGen.fixtureAt(seed, i)
       Page(f.url, f.warc_ts, f.html, f.text, f.lang)
     }.toDF()

@@ -768,6 +768,16 @@ object AnswerKeys {
       Seq(k).toDS().toDF()
     })
 
+    // x25: streaming taxonomy vs GENERATION-TIME truth — identical to the
+    // batch x4 contract at its doc cap; a second drain re-processing the
+    // first drain's files would double every count and go red here
+    write("x25_streaming_extract", {
+      val n25 = math.min(n, 2000L)
+      fixtures(n25).groupBy(_.expected.failure).map { case (fail, fs) =>
+        K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
+      }.toSeq.sortBy(_.failure).toDS().toDF()
+    })
+
     // x24: the STAGED funnel (extract → committed tables → dedup table →
     // report) must land on the SAME funnel counts as the in-memory x17 —
     // plus the resume protocol facts: exactly 2 committed runs, run 2
