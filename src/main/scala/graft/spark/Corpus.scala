@@ -33,10 +33,15 @@ object Corpus {
   }
 
   /** Pages + the generation-time answer key (for oracle joins in tests). */
-  def pagesWithExpected(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): DataFrame = {
+  def pagesWithExpected(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): DataFrame =
+    pagesWithExpectedRange(spark, 0L, n, seed, partitions)
+
+  def pagesWithExpectedRange(
+      spark: SparkSession, from: Long, until: Long,
+      seed: Long = 42L, partitions: Int = 0): DataFrame = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-    spark.range(0L, n, 1L, parts).map { i =>
+    spark.range(from, until, 1L, parts).map { i =>
       val f = FixtureGen.fixtureAt(seed, i)
       PageWithExpected(f.url, f.warc_ts, f.html, f.text, f.lang, f.expected.text, f.expected.failure)
     }.toDF()

@@ -193,6 +193,10 @@ trait CheckpointStore {
   def nextRunId(): Long
   /** LIVE runs: committed minus retired-by-compaction. */
   def committedRunIds(): Seq[Long]
+  /** True if this run id was EVER committed, retired or live — the replay
+    * guard for idempotent re-commits (streaming WAL replays a batch under
+    * its original id even after a compaction retired it). */
+  def isCommitted(runId: Long): Boolean
   def committedUrls(): Option[DataFrame]
   def commit(runId: Long, docCount: Long, sourceFingerprint: String): Unit
   /** Mark runs as superseded by a compaction (Iceberg: snapshot expiry). */
@@ -236,6 +240,8 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
 
   // next id must clear RETIRED runs too — their directories still exist
   override def nextRunId(): Long = allRunIds().lastOption.getOrElse(-1L) + 1L
+
+  override def isCommitted(runId: Long): Boolean = allRunIds().contains(runId)
 
   override def retire(runIds: Seq[Long]): Unit = {
     import spark.implicits._

@@ -55,8 +55,14 @@ object ExtractPipeline {
   def hostCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(try_parse_url(url, lit("HOST")), lit(""))
 
-  /** Kernel input row — public: Spark codegen instantiates it. */
-  final case class PageIn(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte], lang: String)
+  /** Kernel input row — public: Spark codegen instantiates it. warc_ts is
+    * NOT here (round-4 review): the kernel uses only url/html/lang, and
+    * carrying the timestamp through the typed boundary deserialized a
+    * never-read column for every row — at 10^12 docs a full useless
+    * column scan. Event-time consumers ([[graft.streaming
+    * .StreamingExtract.metricsStream]]) read warc_ts from the pages frame
+    * directly, before the kernel. */
+  final case class PageIn(url: String, html: Array[Byte], lang: String)
 
   /** Core transform: pages DataFrame → extracted Dataset. Pure, no writes.
     *
@@ -67,10 +73,9 @@ object ExtractPipeline {
     * shuffle less — measured 1.7-2x end-to-end on this box. */
   def extract(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig = PipelineConfig()): Dataset[ExtractedRow] = {
     import spark.implicits._
-    // prune columns FIRST so parquet scan never reads `text`
+    // prune columns FIRST so parquet scan never reads `text` (or warc_ts)
     val pruned = pages.select(
       col("url"),
-      col("warc_ts"),
       col("html"),
       coalesce(col("lang"), lit("")).as("lang"))
 
@@ -87,12 +92,18 @@ object ExtractPipeline {
       val p = if (cfg.numPartitions > 0) cfg.numPartitions
               else spark.sessionState.conf.numShufflePartitions
       val hot = cfg.staticHotHosts.getOrElse(hotHosts(spark, pruned, cfg, p))
+      // saltBuckets <= 1 means "no salting" — guarded explicitly because
+      // under Spark 4 ANSI mode pmod(x, 0) raises DIVIDE_BY_ZERO and a
+      // CLI-supplied 0 would kill the whole job mid-write (round-4 review;
+      // same one-bad-value class as the try_parse_url fix)
+      val saltCol =
+        if (cfg.saltBuckets <= 1 || hot.isEmpty) lit(0)
+        else when(col("host").isInCollection(hot.toSeq.sorted),
+          pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
+          .otherwise(lit(0))
       extracted.toDF()
         .withColumn("host", hostCol(col("url")))
-        .withColumn("salt",
-          when(col("host").isInCollection(hot.toSeq.sorted),
-            pmod(xxhash64(col("url")), lit(cfg.saltBuckets)))
-            .otherwise(lit(0)))
+        .withColumn("salt", saltCol)
         .repartition(p, col("host"), col("salt"))
         .drop("host", "salt")
         .as[ExtractedRow]
@@ -108,7 +119,7 @@ object ExtractPipeline {
       cfg: PipelineConfig = PipelineConfig()): Dataset[graft.core.BlockDiag] = {
     import spark.implicits._
     val pruned = pages.select(
-      col("url"), col("warc_ts"), col("html"),
+      col("url"), col("html"),
       coalesce(col("lang"), lit("")).as("lang"))
     val extractorCfg = cfg.extractor
     pruned.as[PageIn].mapPartitions { it =>
@@ -119,16 +130,32 @@ object ExtractPipeline {
 
   /** Estimate hot hosts from a bounded sample (NEVER a full scan of html —
     * only the url column is touched, so the parquet reader prunes to one
-    * column; at 100 TB this reads only url chunks of a 1% sample). */
+    * column; at 100 TB this reads only url chunks of a 1% sample).
+    *
+    * The bound is PER-PARTITION (round-4 review): the old global
+    * `limit(maxSampleRows)` consumed partitions in index order, so on
+    * host-clustered input (a host-bucketed table — exactly what
+    * [[Bucketing]] writes) the sample saw only the first partitions'
+    * hosts and a giant host later in the ordering was never salted. Now
+    * every partition contributes at most maxSampleRows/parts rows, the
+    * counting stays a distributed aggregation, and the driver collects
+    * only hosts ABOVE the threshold — mathematically ≤
+    * floor(1/hotHostFraction) rows, never the full host census. */
   def hotHosts(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig, parts: Int): Set[String] = {
+    import spark.implicits._
     if (cfg.hotHostFraction >= 1.0) return Set.empty
-    val sample = pages.select("url").sample(withReplacement = false, cfg.sampleFraction, seed = 42)
-      .limit(cfg.maxSampleRows)
-    val counts = sample.select(hostCol(col("url")).as("host"))
+    val cap = math.max(1, cfg.maxSampleRows / math.max(1, parts))
+    val sample = pages.select("url")
+      .sample(withReplacement = false, cfg.sampleFraction, seed = 42)
+      .as[String]
+      .mapPartitions(_.take(cap)) // early-exit per split: bounded AND unbiased
+    val counts = sample.toDF("url")
+      .select(hostCol(col("url")).as("host"))
       .groupBy("host").count()
-      .collect()
-    val total = counts.map(_.getLong(1)).sum.toDouble
-    if (total <= 0) Set.empty
-    else counts.filter(r => r.getLong(1) / total > cfg.hotHostFraction).map(_.getString(0)).toSet
+    val total = broadcast(counts.agg(sum("count").as("_total")))
+    counts.crossJoin(total)
+      .filter(col("count") > col("_total") * cfg.hotHostFraction)
+      .select("host")
+      .collect().map(_.getString(0)).toSet
   }
 }

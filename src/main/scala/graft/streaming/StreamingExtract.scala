@@ -79,9 +79,17 @@ object StreamingExtract {
     * (VERDICT r1 #10 — lineage was previously batch-only).
     *
     * Exactly-once: the checkpoint WAL replays an interrupted batch under
-    * the SAME batchId, and both writes are idempotent (overwrite of that
+    * the SAME batchId, and the writes are idempotent (overwrite of that
     * run_id directory) — the foreachBatch equivalent of the file-sink
-    * commit log. */
+    * commit log. Each batch is also COMMITTED to the `_checkpoint` store
+    * (round-4 review: without the commit, the documented reader views
+    * `ExtractJob.readExtracted`/`readLineage` found no committed runs and
+    * silently returned EMPTY over a fully populated streaming outDir).
+    * The commit is replay-safe: an already-committed batchId is skipped,
+    * not re-committed (the store's duplicate-commit check throws by
+    * design for racing writers — a WAL replay is not a race). A streaming
+    * outDir is its own store: do not point batch `ExtractJob.run` at it
+    * (batch run ids and stream batch ids share the same numbering). */
   def runWithLineage(
       spark: SparkSession,
       inDir: String,
@@ -101,6 +109,9 @@ object StreamingExtract {
           df.write.mode("overwrite").parquet(s"$outDir/extracted/run_id=$batchId")
           graft.spark.ExtractJob.lineageAgg(df)
             .write.mode("overwrite").parquet(s"$outDir/lineage/run_id=$batchId")
+          val store = new graft.spark.ParquetCheckpointStore(spark, outDir)
+          if (!store.isCommitted(batchId))
+            store.commit(batchId, df.count(), s"stream:batch=$batchId")
         } finally { df.unpersist(false); () }
       }
       .start()

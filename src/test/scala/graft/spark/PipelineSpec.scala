@@ -107,6 +107,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getLong(0) == agg.getLong(1) + agg.getLong(2) + agg.getLong(3))
   }
 
+  test("hotHosts: per-partition sampling finds a hot host clustered in LATE partitions (round-4)") {
+    val s = spark; import s.implicits._
+    // host-clustered layout (what a host-bucketed table looks like): 100
+    // small hosts in the FIRST partitions, the giant host in the LAST.
+    // The old global limit(maxSampleRows) consumed partitions in index
+    // order and never saw the giant; the per-partition cap must.
+    val small = (0 until 100).flatMap(h => (0 until 10).map(i =>
+      s"https://small-$h.example.com/p$i")).toDF("url").repartition(4)
+    val hot = (0 until 3000).map(i => s"https://giant.example.com/p$i")
+      .toDF("url").repartition(2)
+    val pages = small.union(hot) // union preserves child partition order
+    val cfg = ExtractPipeline.PipelineConfig(
+      sampleFraction = 1.0, maxSampleRows = 200, hotHostFraction = 0.3)
+    val found = ExtractPipeline.hotHosts(spark, pages, cfg, parts = 6)
+    assert(found.contains("giant.example.com"),
+      s"late-partition hot host missed: $found")
+    assert(!found.exists(_.startsWith("small-")), s"small host flagged hot: $found")
+  }
+
+  test("saltBuckets <= 1 disables salting instead of ANSI divide-by-zero (round-4)") {
+    val cfg = ExtractPipeline.PipelineConfig(numPartitions = 4, saltBuckets = 0,
+      staticHotHosts = Some(Set("hot.example.com")))
+    // old code: pmod(xxhash64(url), 0) -> SparkArithmeticException under ANSI
+    val n = ExtractPipeline.extract(spark, Corpus.pages(spark, 300), cfg).count()
+    assert(n == 300)
+  }
+
   test("hot-host salting spreads the skewed host over multiple partitions") {
     val pages = Corpus.pages(spark, 2000)
     val cfg = ExtractPipeline.PipelineConfig(numPartitions = 8, saltBuckets = 8,

@@ -130,6 +130,16 @@ class StreamingExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lin2.select("run_id").distinct().count() == 2)
     assert(lin2.agg(sum("doc_count")).first.getLong(0) == 300)
     assert(spark.read.parquet(s"$out/extracted").select("url").distinct().count() == 300)
+
+    // the documented BATCH reader views must work over the streaming
+    // outDir (round-4 review: without the per-batch _checkpoint commit
+    // they silently returned EMPTY over a fully populated directory)
+    assert(graft.spark.ExtractJob.readExtracted(spark, out).count() == 300)
+    assert(graft.spark.ExtractJob.readLineage(spark, out)
+      .agg(sum("doc_count")).first.getLong(0) == 300)
+    val store = new graft.spark.ParquetCheckpointStore(spark, out)
+    assert(store.committedRunIds() == Seq(0L, 1L))
+    assert(store.isCommitted(0L) && !store.isCommitted(7L))
   }
 
   test("hostStateStream survives a null-html row (checkpoint replay would brick)") {
