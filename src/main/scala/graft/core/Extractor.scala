@@ -41,8 +41,20 @@ final class Extractor(
       else if (bytes.length > cfg.maxPayloadBytes) row("", Nil, Failure.Oversize, 0)
       else if (Extractor.isPdf(bytes)) {
         PdfTextExtractor.extract(bytes, cfg, rtl = cfg.rtlLangs.contains(lang)) match {
-          case Some((text, spans)) if text.exists(!_.isWhitespace) =>
-            row(text, spans, Failure.Ok, spans.length)
+          case Some((text0, spans0)) if text0.exists(!_.isWhitespace) =>
+            // the post pipeline runs on the PDF branch too (round-4
+            // review): the reference pipe these passes port (fixutf8 |
+            // fixspell) is the OCR/print-document pipeline, so a Yiddish
+            // PDF under the `yi` profile must get the same normalization
+            // + repair the HTML branch gets — previously it silently
+            // skipped both and identical content diverged by payload kind
+            val (text1, spans1) = assemble.PostNormalizer.applyWithSpans(text0, spans0, lang)
+            val (text, spans) =
+              if (cfg.spellRepair && cfg.dictionary.nonEmpty)
+                Spans.rewrite(text1, spans1)(spellRepairer)
+              else (text1, spans1)
+            if (text.exists(!_.isWhitespace)) row(text, spans, Failure.Ok, spans.length)
+            else row("", Nil, Failure.Empty, 0)
           case Some(_) => row("", Nil, Failure.Empty, 0)
           case None => row("", Nil, Failure.ParseError, 0)
         }

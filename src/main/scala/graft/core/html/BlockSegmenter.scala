@@ -255,11 +255,16 @@ object BlockSegmenter {
     }
 
     override def endTag(name: String): Unit = {
-      if ((tagFlags.getOrDefault(name, ZeroFlags) & FBlock) != 0) flush()
-      // pop up to and including the innermost matching open element
+      // a stray end tag with NO matching open element is IGNORED, as in
+      // browser tree construction (round-4 review: a never-opened </div>
+      // flushed mid-paragraph, splitting one block into fragments that
+      // each fell under minContentWords and were dropped)
       val idx = stack.lastIndexWhere(_.name == name)
-      if (idx >= 0) popFrom(idx)
-      pendingBr = 0
+      if (idx >= 0) {
+        if ((tagFlags.getOrDefault(name, ZeroFlags) & FBlock) != 0) flush()
+        popFrom(idx)
+        pendingBr = 0
+      }
     }
 
     override def text(html: String, start: Int, end: Int): Unit = {

@@ -104,6 +104,15 @@ object HtmlTokenizer {
     "uuml" -> "\u00FC", "ouml" -> "\u00F6", "auml" -> "\u00E4",
     "szlig" -> "\u00DF", "ccedil" -> "\u00E7")
 
+  /** WHATWG 13.2.5.80 numeric-character-reference end state: code points
+    * 0x80–0x9F map through the windows-1252 table (same table the charset
+    * decoder uses); entries the spec leaves unmapped keep their value. */
+  private val c1RefMap: Array[Int] = Array(
+    0x20AC, 0x81, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x8D, 0x017D, 0x8F,
+    0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
+
   /** Decode character references in a text run. */
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -139,10 +148,18 @@ object HtmlTokenizer {
         // branch instead of a parse exception's literal passthrough. A
         // syntactically non-numeric body (`&#-1;`, `&#zz;`) is NOT a
         // character reference per WHATWG and stays literal.
+        // ...and (round-4 review, same WHATWG section): numeric references
+        // in the C1 range (&#128;\u2013&#159;) map through the windows-1252
+        // table (0x93 \u2192 U+201C "curly quote", etc.) \u2014 legacy-CMS pages use
+        // these constantly, and emitting the raw C1 control put invisible
+        // control chars in the corpus where punctuation belongs. Refs the
+        // table leaves unmapped (0x81/0x8D/0x8F/0x90/0x9D) pass through.
         def appendRef(cp: Long): Unit =
           if (cp == 0 || cp > Character.MAX_CODE_POINT ||
               (cp >= Character.MIN_SURROGATE.toLong && cp <= Character.MAX_SURROGATE.toLong))
             sb.append('\uFFFD')
+          else if (cp >= 0x80 && cp <= 0x9F)
+            sb.appendCodePoint(c1RefMap((cp - 0x80).toInt))
           else sb.appendCodePoint(cp.toInt)
         def allDec(d: String): Boolean =
           d.nonEmpty && d.forall(ch => ch >= '0' && ch <= '9')
@@ -211,8 +228,18 @@ object HtmlTokenizer {
           if (next == '!') {
             emitText(lt)
             if (html.startsWith("<!--", lt)) {
-              val end = html.indexOf("-->", lt + 4)
-              i = if (end < 0) n else end + 3
+              // WHATWG abrupt closing: <!--> and <!---> are complete
+              // (empty) comments — the generic scan starts at lt+4, past
+              // the closer's own dashes, and would otherwise swallow the
+              // rest of the document when no later "-->" exists
+              // (round-4 review)
+              if (lt + 4 < n && html.charAt(lt + 4) == '>') i = lt + 5
+              else if (lt + 5 < n && html.charAt(lt + 4) == '-' &&
+                       html.charAt(lt + 5) == '>') i = lt + 6
+              else {
+                val end = html.indexOf("-->", lt + 4)
+                i = if (end < 0) n else end + 3
+              }
             } else if (html.regionMatches(true, lt, "<![CDATA[", 0, 9)) {
               val end = html.indexOf("]]>", lt + 9)
               i = if (end < 0) n else end + 3
@@ -249,7 +276,14 @@ object HtmlTokenizer {
               // not a real tag; the '<' stays in the text run
               i = lt + 1
             } else {
-              emitStart(tag.name, tag.id, tag.cls, tag.selfClosing)
+              // for raw-text elements the scanner below CONSUMES to the
+              // close tag regardless of a trailing "/" (HTML5 ignores it
+              // on non-void elements), so the start token must not claim
+              // self-closing either — <title/> otherwise skipped the
+              // segmenter's element push and leaked the title text into
+              // content blocks (round-4 review)
+              emitStart(tag.name, tag.id, tag.cls,
+                tag.selfClosing && !rawTextElements.contains(tag.name))
               i = after
               // raw-text elements: skip to the matching close tag.
               // HTML5 IGNORES a trailing "/" on non-void elements, so

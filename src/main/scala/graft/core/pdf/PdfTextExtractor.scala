@@ -148,6 +148,14 @@ object PdfTextExtractor {
     }
   }
 
+  /** Hard cap on an inflated stream body (round-4 review): deflate
+    * amplifies up to ~1030×, so a 2 MB flate bomb would otherwise inflate
+    * toward 2 GB and the resulting OutOfMemoryError — an Error, NOT
+    * NonFatal — would escape the extractor's catch and kill the executor
+    * instead of yielding one parse_error row. 64 MB is ~32× the payload
+    * cap: far above any real content stream, far below OOM territory. */
+  private val MaxInflatedBytes = 64 << 20
+
   /** Inflate a FlateDecode body (chars are latin-1-mapped bytes). None on
     * corrupt input — the page then contributes no runs, same taxonomy as a
     * non-text stream. */
@@ -161,9 +169,22 @@ object PdfTextExtractor {
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput())
-            throw new java.util.zip.DataFormatException("truncated deflate body")
+          if (n == 0) {
+            // a zlib header with FDICT set reports needsDictionary() and
+            // inflates 0 bytes forever with needsInput() still false —
+            // without this check the loop spins and the task HANGS
+            // (round-4 review); PDFs never use preset dictionaries, so
+            // any such stream is corrupt
+            if (inf.needsDictionary())
+              throw new java.util.zip.DataFormatException("deflate preset dictionary unsupported")
+            if (inf.needsInput())
+              throw new java.util.zip.DataFormatException("truncated deflate body")
+            // any other zero-progress state: refuse rather than spin
+            throw new java.util.zip.DataFormatException("deflate made no progress")
+          }
           out.write(buf, 0, n)
+          if (out.size > MaxInflatedBytes)
+            throw new java.util.zip.DataFormatException("inflated stream exceeds cap (flate bomb)")
         }
         Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1))
       } finally inf.end()
@@ -353,6 +374,10 @@ object PdfTextExtractor {
             // §7.3.4.2: high-order overflow is ignored — \777 is byte 0xFF
             sb.append((v & 0xFF).toChar); i = k
           case '\n' => i += 2 // line continuation
+          case '\r' => // §7.3.4.2: \CR and \CRLF are line continuations too
+            i += 2     // (round-4 review: these fell through to the generic
+                       // escape case and injected a raw CR into the run)
+            if (i < n && cs.charAt(i) == '\n') i += 1
           case other => sb.append(other); i += 2
         }
       } else if (c == '(') { depth += 1; sb.append(c); i += 1 }

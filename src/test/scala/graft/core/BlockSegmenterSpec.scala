@@ -19,6 +19,28 @@ class BlockSegmenterSpec extends AnyFunSuite {
     assert(b(1).text == "delta")
   }
 
+  test("<title/> raw text never becomes a content block (round-4)") {
+    // the tokenizer ignores the trailing '/' on raw-text elements and
+    // consumes to </title>; the start token must not claim self-closing or
+    // the segmenter skips the element push and the SEO title leaks into
+    // content
+    val b = seg("<html><title/>Ten Garden Tips For Summer | ExampleSite</title>" +
+      "<body><p>real content paragraph with enough words to keep around</p></body>")
+    assert(!b.exists(_.text.contains("Garden")), b.map(_.text).mkString("|"))
+    assert(b.exists(_.text.contains("real content")))
+  }
+
+  test("stray unmatched end tag is ignored, not a block flush (round-4)") {
+    // browsers drop a never-opened close tag in tree construction; the old
+    // flush split an 11-word paragraph into two sub-minimum fragments
+    val b = seg("<body><p>five words of lead in</div> then six more words finish the thought</p></body>")
+    assert(b.exists(t => t.text.contains("lead in") && t.text.contains("finish the thought")),
+      b.map(_.text).mkString("|"))
+    // a MATCHED close still splits normally
+    val b2 = seg("<body><div><p>first block here now</p></div><p>second block words</p></body>")
+    assert(b2.length == 2)
+  }
+
   test("link words counted per word, spanning pieces (F1 link-density feature)") {
     val b = seg("""<p>plain <a href="/x">linked words</a> tail</p>""")
     assert(b.head.words == 4)

@@ -76,6 +76,20 @@ class ExtractorSpec extends AnyFunSuite {
     assert(r.failure == "parse_error")
   }
 
+  test("PDF branch runs the post/spell pipeline like the HTML branch (round-4)") {
+    // the reference pipe these passes port (fixutf8 | fixspell) is the
+    // OCR/print-document pipeline — a repairing profile must repair PDF
+    // output too, not just HTML
+    val cfg = ExtractorConfig.default.copy(spellRepair = true, dictionary = Set("modern"))
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 41 >> stream\n" +
+      "BT /F1 12 Tf 72 720 Td (rnodern) Tj ET\nendstream endobj\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = new Extractor(cfg).extract("u", pdf, "en")
+    assert(r.failure == "ok" && r.text == "modern\n", s"got '${r.text}'")
+    // spans survive the rewrite
+    assert(r.spans.nonEmpty && r.spans.head.begin == 0)
+  }
+
   test("PDF payload routed to PDF branch") {
     val pdf = ("%PDF-1.4\n1 0 obj << /Length 44 >> stream\n" +
       "BT /F1 12 Tf 72 720 Td (Hello from pdf) Tj ET\nendstream endobj\n")

@@ -39,6 +39,30 @@ class HtmlTokenizerSpec extends AnyFunSuite {
     assert(t == Vector(Text("yes")))
   }
 
+  test("abrupt comment close: <!--> and <!---> are complete empty comments (round-4)") {
+    // WHATWG 'abrupt-closing-of-empty-comment': with no later --> the old
+    // scanner (which searched from lt+4) swallowed the document tail
+    assert(tokenize("a<!-->rest") == Vector(Text("a"), Text("rest")))
+    assert(tokenize("a<!--->rest") == Vector(Text("a"), Text("rest")))
+    // a normal empty comment and a dash-bearing body still scan correctly
+    assert(tokenize("a<!---->rest") == Vector(Text("a"), Text("rest")))
+    assert(tokenize("a<!-- -- -->rest") == Vector(Text("a"), Text("rest")))
+  }
+
+  test("C1 numeric charrefs map through windows-1252 (WHATWG 13.2.5.80, round-4)") {
+    // legacy-CMS curly quotes/apostrophes/ellipses — previously emitted as
+    // invisible C1 control characters
+    assert(decodeEntities("&#147;quoted&#148; it&#146;s&#133;") ==
+      "“quoted” it’s…")
+    assert(decodeEntities("&#x93;x&#x94; &#x80;") == "“x” €")
+    assert(decodeEntities("&#150;&#151;") == "–—") // en/em dash
+    // refs the WHATWG table leaves unmapped keep their value
+    assert(decodeEntities("&#129;") == "")
+    // the real C1 code points via charset decode are untouched (this
+    // mapping is for NUMERIC REFERENCES only)
+    assert(decodeEntities("") == "")
+  }
+
   test("script/style raw text is consumed, not emitted") {
     val t = tokenize("<script>if (a < b) { x = '<p>'; }</script><style>a>b{}</style>ok")
     assert(t.collect { case Text(s) => s } == Vector("ok"))

@@ -303,4 +303,31 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     val (s, _) = PdfTextExtractor.parseLiteralString("(\\777\\377\\101)", 0)
     assert(s == "\u00FF\u00FFA")
   }
+
+  test("literal-string \\CR and \\CRLF are line continuations (\u00A77.3.4.2, round-4)") {
+    // previously the generic escape case appended a raw CR mid-line
+    assert(text("BT /F1 12 Tf 72 720 Td (first\\\r\nsecond) Tj ET\n") == "firstsecond\n")
+    assert(text("BT /F1 12 Tf 72 720 Td (first\\\rsecond) Tj ET\n") == "firstsecond\n")
+    assert(text("BT /F1 12 Tf 72 720 Td (first\\\nsecond) Tj ET\n") == "firstsecond\n")
+  }
+
+  test("FDICT zlib header cannot hang the task (round-4: needsDictionary spin)") {
+    // 0x78 0x20 is a VALID zlib header (30752 % 31 == 0) with the
+    // preset-dictionary bit set: the inflater reports needsDictionary(),
+    // inflates 0 bytes, and needsInput() stays false \u2014 the old loop had
+    // no exit for that state and the task hung forever
+    val body = Array[Byte](0x78.toByte, 0x20.toByte, 1, 2, 3, 4, 5, 6, 7)
+    val t0 = System.nanoTime()
+    assert(PdfTextExtractor.extract(pdfObj(" /Filter /FlateDecode", body), cfg).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "inflate did not terminate promptly")
+  }
+
+  test("flate bomb: a tiny stream inflating past the cap is parse_error, not OOM (round-4)") {
+    // ~80 MB of NULs deflate to ~80 KB \u2014 well under maxPayloadBytes, but
+    // the unbounded inflate would have built a ~80 MB buffer per doc (and
+    // an adversarial nesting-free 2 MB payload reaches ~2 GB)
+    val bomb = deflate(" " * (80 << 20))
+    assert(bomb.length < (1 << 20), s"bomb unexpectedly large: ${bomb.length}")
+    assert(PdfTextExtractor.extract(pdfObj(" /Filter /FlateDecode", bomb), cfg).isEmpty)
+  }
 }
