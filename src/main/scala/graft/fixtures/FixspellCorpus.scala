@@ -41,12 +41,7 @@ object FixspellCorpus {
     "\u05E9\u05C2\u05DE\u05D7\u05D4", "\u05D1\u05D0\u05B7\u05E0\u05D3", "\u05D1\u05D0\u05B8\u05E0\u05D3", "\u05D2\u05D0\u05B8\u05D8",
     "\u05DE\u05D0\u05B7\u05DE\u05D0\u05B7", "\u05DE\u05D0\u05B7\u05DF\u05D8\u05D0\u05B8\u05D2")
 
-  private def rngFor(seed: Long, i: Long): Random = {
-    var z = seed + i * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    new Random(z ^ (z >>> 31))
-  }
+  private def rngFor(seed: Long, i: Long): Random = FixtureGen.rngFor(seed, i)
 
   /** One corpus line by index: (corrupted text, expected repaired text). */
   def lineAt(seed: Long, i: Long): (String, String) = {

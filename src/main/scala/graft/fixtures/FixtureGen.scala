@@ -68,9 +68,11 @@ object FixtureGen {
     "Home", "About", "Contact", "Products", "Blog", "Archive", "Login",
     "Search", "Privacy", "Terms", "Sitemap", "Help")
 
-  /** Mixed per-index RNG — splitmix-style index mixing into the specified
-    * java.util.Random LCG so neighboring indexes are decorrelated. */
-  private def rngFor(seed: Long, i: Long): Random = {
+  /** Index-addressable splitmix64-style seeding — THE shared mixer for
+    * every deterministic generator (FixspellCorpus and MediaGen delegate
+    * here; round-4 review found a third inline copy that had silently
+    * dropped one mixing round). */
+  private[graft] def rngFor(seed: Long, i: Long): Random = {
     var z = seed + i * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -191,7 +193,12 @@ object FixtureGen {
     var p = 0
     while (p < nParas) {
       val nw = 15 + rng.nextInt(46)
-      val links = if (rng.nextInt(3) == 0) 1 + rng.nextInt(2) else 0
+      val links0 = if (rng.nextInt(3) == 0) 1 + rng.nextInt(2) else 0
+      // record only links sentence() will actually EMIT (it skips the <a>
+      // when n <= linkWords + 1) — the x22 truth must never claim link
+      // words the HTML does not contain (round-4 review; unreachable at
+      // today's nw >= 15, but nothing enforced the invariant)
+      val links = if (links0 > 0 && nw > links0 + 1) links0 else 0
       val (pt, ph) = sentence(rng, nw, links, wl)
       body.append("<p>").append(ph).append("</p>")
       addTruth(pt, "content", linkWords = links)

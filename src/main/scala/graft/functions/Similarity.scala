@@ -61,14 +61,38 @@ object Similarity {
   private[functions] val nonZeroVec =
     udf((v: Seq[Float]) => v != null && v.exists(_ != 0f))
 
-  /** Random-hyperplane LSH bucket id (nBits sign bits). */
+  // the plane matrix is a pure function of (seed, nBits, dim): precompute
+  // it once per executor instead of re-deriving every plane value
+  // (fmix64 + fdiv) for EVERY row — at 10^9 vectors × tables × bits × dims
+  // the redundant recompute dominated the bucketing UDF (round-4 review).
+  // Bounded: one ~nBits×dim array per (seed, nBits, dim) triple, and a
+  // workload uses a handful of seeds and one or two dims.
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planesFor(seed: Long, nBits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, nBits, dim), { key =>
+      val arr = new Array[Double](nBits * dim)
+      var b = 0
+      while (b < nBits) {
+        var d = 0
+        while (d < dim) { arr(b * dim + d) = planeValue(seed, b, d); d += 1 }
+        b += 1
+      }
+      arr
+    })
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits). Bit-identical to
+    * the per-value derivation (the cache stores the same doubles). */
   def lshBucketKernel(vec: Seq[Float], nBits: Int, seed: Long): Int = {
+    val dim = vec.length
+    val planes = planesFor(seed, nBits, dim)
     var bucket = 0
     var b = 0
     while (b < nBits) {
       var dot = 0.0
       var d = 0
-      while (d < vec.length) { dot += vec(d) * planeValue(seed, b, d); d += 1 }
+      while (d < dim) { dot += vec(d) * planes(b * dim + d); d += 1 }
       if (dot >= 0) bucket |= (1 << b)
       b += 1
     }
@@ -133,6 +157,7 @@ object Similarity {
       trainSample: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
     val sample = vectors
       .select(col(idCol).as("id"), col(vecCol).as("emb"))
+      .filter(col("emb").isNotNull) // dirty rows never crash the trainer
       .orderBy(xxhash64(col("id")), col("id")).limit(trainSample)
       .select("emb")
       .collect() // TakeOrdered output order = the (hash, id) total order
@@ -202,8 +227,13 @@ object Similarity {
     // vector is assigned exactly ONE list, so (query_id, vec_id) pairs are
     // unique by construction — the old dedup was a no-op that forced a
     // full-width exchange with both embeddings as payload.
+    // null embeddings skip assignment/probing entirely (round-4 review:
+    // every sibling ANN path null-guards its input — nonZeroVec, the
+    // minhash band UDF — but this one NPE'd in nearestCentroids)
     val vBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v_emb"))
+      .filter(col("v_emb").isNotNull)
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
+      .filter(col("q_emb").isNotNull)
     val v = Dedup.parallelize(vBase)
       .withColumn("list", nearestLists(1)(col("v_emb"))(0)) // assign: 1 list
       .select("vec_id", "list") // ids-only exchange

@@ -101,6 +101,11 @@ object Multimodal {
     * frames), frame = real byte slice of the payload. Non-video rows pass
     * through with frame_idx = -1 and the full payload. */
   def sampleFrames(df: DataFrame, payloadCol: String, stride: Int = 2): DataFrame = {
+    // fail at CALL time, not inside the UDF: stride=0 would throw
+    // ("step cannot be 0") per task, and a negative stride would silently
+    // DELETE every video row (empty Range) — the row-deletion behavior the
+    // corrupt-header guards above exist to prevent (round-4 review)
+    require(stride > 0, s"stride must be positive, got $stride")
     val frameUdf = udf { (payload: Array[Byte]) =>
       val meta = decodeMetaKernel(payload)
       // LONG frame geometry + explicit <=0 guards (round-3 review): a
@@ -222,9 +227,9 @@ object MediaGen {
   final case class MediaRow(media_id: Long, url: String, media_type: String, payload: Array[Byte])
 
   def mediaAt(seed: Long, i: Long): MediaRow = {
-    var z = seed + i * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    val rng = new Random(z ^ (z >>> 31))
+    // shared mixer (round-4 review: this had a third inline copy that
+    // silently dropped one mixing round)
+    val rng = graft.fixtures.FixtureGen.rngFor(seed, i)
     val url = s"https://media.example.com/$i"
     val kind = rng.nextInt(100)
     def noise(n: Int): Array[Byte] = { val b = new Array[Byte](n); rng.nextBytes(b); b }
