@@ -516,6 +516,12 @@ object AnswerKeys {
   final case class K22(url: String, kept_seq: Int, label: String, words: Int, link_words: Int)
   final case class K23(line_id: Long, repaired: String)
 
+  /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
+    * regenerate fixtures by index, so nothing corpus-sized ever crosses
+    * the driver (public: Spark codegen instantiates it). */
+  final case class Truth(doc_i: Long, url: String, failure: String,
+      n_spans: Int, text_chars: Int, html_bytes: Long, host: String)
+
   // ---------- inputs ------------------------------------------------------
 
   private def docs(spark: SparkSession, d: String): Array[(Long, String)] =
@@ -525,9 +531,6 @@ object AnswerKeys {
   private def embs(spark: SparkSession, d: String): Array[(Long, Array[Float])] =
     spark.read.parquet(s"$d/embeddings.parquet").select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-
-  private def fixtures(n: Long): IndexedSeq[FixtureGen.Fixture] =
-    (0L until n).map(i => FixtureGen.fixtureAt(42L, i))
 
   // ---------- the keys ----------------------------------------------------
 
@@ -551,47 +554,67 @@ object AnswerKeys {
         graft.FsUtil.deleteRecursively(new java.io.File(s"$auxDir/$name"))
       }
 
-    // x1–x4: GENERATION-TIME truth (FixtureGen's answer key, the byte-
-    // identity contract — never computed by running the extractor)
-    val fx = fixtures(n)
-    write("x1_extract", fx.map { f =>
-      K1(f.url, f.expected.failure,
+    // x1–x4 (+x21/x22/x25): GENERATION-TIME truth (FixtureGen's answer
+    // key, the byte-identity contract — never computed by running the
+    // extractor). The generators are index-addressable, so the truth is
+    // synthesized DISTRIBUTED (spark.range → map on executors): the old
+    // driver-materialized Seq shipped the whole corpus as one
+    // LocalRelation task (~11 MB at sf0.1, 10× that at the sf1 lap) and
+    // held every fixture on the driver heap. The VALUES are unchanged —
+    // the same fixtureAt(42L, i) calls, now executor-side.
+    val truth = spark.range(0L, n).as[Long].map { i =>
+      val f = FixtureGen.fixtureAt(42L, i)
+      Truth(i, f.url, f.expected.failure,
         if (f.expected.failure == "ok") f.expected.spans.length else 0,
-        f.expected.text.length, f.html.length.toLong)
-    }.sortBy(_.url).toDS().toDF())
+        f.expected.text.length, f.html.length.toLong, hostOf(f.url))
+    }.persist()
 
-    val fx2k = fixtures(math.min(n, 2000L))
-    write("x2_extract_text", fx2k.filter(_.expected.failure == "ok")
-      .map(f => K2(f.url, f.expected.text)).sortBy(_.url).toDS().toDF())
+    write("x1_extract", truth
+      .map(t => K1(t.url, t.failure, t.n_spans, t.text_chars, t.html_bytes))
+      .orderBy("url").toDF())
 
-    write("x3_spans", fx2k.flatMap(f =>
-      f.expected.spans.map(s => K3(f.url, s.begin, s.end, s.kind)))
-      .sortBy(k => (k.url, k.begin)).toDS().toDF())
+    val n2k = math.min(n, 2000L)
+    write("x2_extract_text", spark.range(0L, n2k).as[Long].flatMap { i =>
+      val f = FixtureGen.fixtureAt(42L, i)
+      if (f.expected.failure == "ok") Iterator.single(K2(f.url, f.expected.text))
+      else Iterator.empty
+    }.orderBy("url").toDF())
 
-    write("x4_taxonomy", fx.groupBy(_.expected.failure).map { case (fail, fs) =>
-      K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
-    }.toSeq.sortBy(_.failure).toDS().toDF())
+    write("x3_spans", spark.range(0L, n2k).as[Long].flatMap { i =>
+      val f = FixtureGen.fixtureAt(42L, i)
+      f.expected.spans.map(s => K3(f.url, s.begin, s.end, s.kind))
+    }.orderBy("url", "begin").toDF())
 
-    write("x21_host_stats", fx.groupBy(f => hostOf(f.url)).map { case (h, fs) =>
-      K21(h, fs.size.toLong,
-        fs.count(_.expected.failure == "ok").toLong,
-        fs.map(_.expected.text.length.toLong).sum)
-    }.toSeq.sortBy(_.host).toDS().toDF())
+    write("x4_taxonomy", truth.groupByKey(_.failure).mapGroups { (fail, it) =>
+      var cnt = 0L; var chars = 0L
+      it.foreach { t => cnt += 1L; chars += t.text_chars }
+      K4(fail, cnt, chars)
+    }.orderBy("failure").toDF())
+
+    write("x21_host_stats", truth.groupByKey(_.host).mapGroups { (h, it) =>
+      var docsN = 0L; var ok = 0L; var chars = 0L
+      it.foreach { t =>
+        docsN += 1L; if (t.failure == "ok") ok += 1L; chars += t.text_chars
+      }
+      K21(h, docsN, ok, chars)
+    }.orderBy("host").toDF())
 
     // x22: per-block classifier features vs GENERATION-TIME truth —
     // FixtureGen records each truth block's (label, words, linkWords) as it
     // composes the page; the engine's kept blocks must align ordinally
-    write("x22_block_features", fx2k.flatMap(f =>
-      f.expected.blocks.zipWithIndex.map { case (b, i) =>
-        K22(f.url, i + 1, b.label, b.words, b.linkWords)
-      }).sortBy(k => (k.url, k.kept_seq)).toDS().toDF())
+    write("x22_block_features", spark.range(0L, n2k).as[Long].flatMap { i =>
+      val f = FixtureGen.fixtureAt(42L, i)
+      f.expected.blocks.zipWithIndex.map { case (b, bi) =>
+        K22(f.url, bi + 1, b.label, b.words, b.linkWords)
+      }
+    }.orderBy("url", "kept_seq").toDF())
 
     // x23: distributed fixspell vs GENERATION-TIME truth — the expected
     // line is COMPOSED from FixspellCorpus's Perl-verified pair table,
     // never computed by running the repairer
-    write("x23_fixspell", (0L until n).map { i =>
+    write("x23_fixspell", spark.range(0L, n).as[Long].map { i =>
       K23(i, graft.fixtures.FixspellCorpus.lineAt(42L, i)._2)
-    }.toDS().toDF())
+    }.orderBy("line_id").toDF())
 
     // x5/x18: near-dup pairs over documents — single-node banding
     val dd = docs(spark, d)
@@ -718,48 +741,59 @@ object AnswerKeys {
         .map { case (q, v, s, r) => KAnn(q, v, s, r) }.toDS().toDF()
     })
 
-    // x11–x13: multimodal plumbing over the deterministic MediaGen table
-    val media = (0L until math.min(n, 2000L)).map(i => MediaGen.mediaAt(42L, i))
-    write("x11_media_meta", media
-      .map(m => Multimodal.decodeMetaKernel(m.payload))
-      .groupBy(_.media_type).map { case (mt, ms) =>
-        K11(mt, ms.size.toLong, ms.map(_.n_bytes.toLong).sum)
-      }.toSeq.sortBy(_.media_type).toDS().toDF())
+    // x11–x13/x19: multimodal plumbing over the deterministic MediaGen
+    // table — index-addressable like the fixtures, so synthesized
+    // distributed too (the payload Seq was the other LocalRelation task)
+    val nMedia = math.min(n, 2000L)
+    write("x11_media_meta", spark.range(0L, nMedia).as[Long].map { i =>
+      val meta = Multimodal.decodeMetaKernel(MediaGen.mediaAt(42L, i).payload)
+      (meta.media_type, meta.n_bytes.toLong)
+    }.groupByKey(_._1).mapGroups { (mt, it) =>
+      var cnt = 0L; var bytes = 0L
+      it.foreach { x => cnt += 1L; bytes += x._2 }
+      K11(mt, cnt, bytes)
+    }.orderBy("media_type").toDF())
 
-    write("x12_media_features",
-      (0L until math.min(n, 1000L)).map(i => MediaGen.mediaAt(42L, i))
-        .map(m => K12(m.media_id, m.media_type,
-          round4f(Multimodal.embedKernel(m.payload, 16)(0))))
-        .sortBy(_.media_id).toDS().toDF())
+    val n1k = math.min(n, 1000L)
+    write("x12_media_features", spark.range(0L, n1k).as[Long].map { i =>
+      val m = MediaGen.mediaAt(42L, i)
+      K12(m.media_id, m.media_type,
+        round4f(Multimodal.embedKernel(m.payload, 16)(0)))
+    }.orderBy("media_id").toDF())
 
-    write("x19_media_resize",
-      (0L until math.min(n, 1000L)).map(i => MediaGen.mediaAt(42L, i))
-        .filter(_.media_type == "image")
-        .map { m =>
-          val r = Multimodal.resizeKernel(m.payload, 8, 8)
-          val md = java.security.MessageDigest.getInstance("MD5").digest(r)
-            .map(b => f"$b%02x").mkString
-          K19(m.media_id, r.length, md)
-        }.sortBy(_.media_id).toDS().toDF())
+    write("x19_media_resize", spark.range(0L, n1k).as[Long].flatMap { i =>
+      val m = MediaGen.mediaAt(42L, i)
+      if (m.media_type != "image") Iterator.empty
+      else {
+        val r = Multimodal.resizeKernel(m.payload, 8, 8)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(r)
+          .map(b => f"$b%02x").mkString
+        Iterator.single(K19(m.media_id, r.length, md))
+      }
+    }.orderBy("media_id").toDF())
 
     write("x20_bpe_tokens",
       dd.map { case (id, t) => K20(id, bpeTokenCountMirror(t)) }
         .toSeq.toDS().toDF())
 
-    write("x13_video_frames", media.filter(_.media_type == "video").flatMap { m =>
-      val meta = Multimodal.decodeMetaKernel(m.payload)
-      val frameBytes = meta.width * meta.height
-      // same payload-fit clamp as sampleFrames (no-op on well-formed
-      // MediaGen videos; keeps mirror semantics aligned on corrupt headers)
-      val maxF = math.min(meta.n_frames.toLong,
-        (m.payload.length - 16L + frameBytes - 1) / math.max(1L, frameBytes)).toInt
-      (0 until maxF by 2).map { f =>
-        val start = 16 + f * frameBytes
-        val end = math.min(start + frameBytes, m.payload.length)
-        val lo = math.min(start, m.payload.length)
-        K13(m.media_id, f, math.max(end, lo) - lo)
+    write("x13_video_frames", spark.range(0L, nMedia).as[Long].flatMap { i =>
+      val m = MediaGen.mediaAt(42L, i)
+      if (m.media_type != "video") Iterator.empty
+      else {
+        val meta = Multimodal.decodeMetaKernel(m.payload)
+        val frameBytes = meta.width * meta.height
+        // same payload-fit clamp as sampleFrames (no-op on well-formed
+        // MediaGen videos; keeps mirror semantics aligned on corrupt headers)
+        val maxF = math.min(meta.n_frames.toLong,
+          (m.payload.length - 16L + frameBytes - 1) / math.max(1L, frameBytes)).toInt
+        (0 until maxF by 2).iterator.map { fIdx =>
+          val start = 16 + fIdx * frameBytes
+          val end = math.min(start + frameBytes, m.payload.length)
+          val lo = math.min(start, m.payload.length)
+          K13(m.media_id, fIdx, math.max(end, lo) - lo)
+        }
       }
-    }.sortBy(k => (k.media_id, k.frame_idx)).toDS().toDF())
+    }.orderBy("media_id", "frame_idx").toDF())
 
     // x17: the whole funnel re-derived single-node (extraction kernel on
     // generated pages + mirrored quality/dedup/near-dup composition)
@@ -773,9 +807,11 @@ object AnswerKeys {
     // first drain's files would double every count and go red here
     write("x25_streaming_extract", {
       val n25 = math.min(n, 2000L)
-      fixtures(n25).groupBy(_.expected.failure).map { case (fail, fs) =>
-        K4(fail, fs.size.toLong, fs.map(_.expected.text.length.toLong).sum)
-      }.toSeq.sortBy(_.failure).toDS().toDF()
+      truth.filter(_.doc_i < n25).groupByKey(_.failure).mapGroups { (fail, it) =>
+        var cnt = 0L; var chars = 0L
+        it.foreach { t => cnt += 1L; chars += t.text_chars }
+        K4(fail, cnt, chars)
+      }.orderBy("failure").toDF()
     })
 
     // x24: the STAGED funnel (extract → committed tables → dedup table →
@@ -788,6 +824,8 @@ object AnswerKeys {
       Seq(K24(2L, n24 - n24 / 2, k.extracted_ok, k.qualified,
         k.exact_deduped, k.final_docs)).toDS().toDF()
     })
+
+    truth.unpersist()
   }
 
   /** Single-node mirror of the x17/x24 prep funnel: extraction kernel on
