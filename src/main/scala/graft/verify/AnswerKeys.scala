@@ -543,7 +543,10 @@ object AnswerKeys {
     // lose every x-key of the run — df is by-name so the key computation
     // itself runs inside the guard
     def write(name: String, df: => DataFrame): Unit =
-      try df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+      try {
+        System.err.println(s"[answer-keys] writing $name")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+      }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[answer-keys] $name failed: ${e.getMessage}")
         // a PREVIOUS run's parquet may survive at the same per-sf auxDir
@@ -616,12 +619,29 @@ object AnswerKeys {
       K23(i, graft.fixtures.FixspellCorpus.lineAt(42L, i)._2)
     }.orderBy("line_id").toDF())
 
+    // mirror OUTPUTS can be corpus-quadratic (x18's candidate-pair list is
+    // ~11 MB at the 10x lap): ship them as a sliced RDD — ~2k rows per
+    // task (Java-serialized case-class elements run ~300 B each) —
+    // instead of one giant LocalRelation task, then consolidate to one
+    // file THROUGH a shuffle sort. The shuffle matters: write()'s narrow
+    // coalesce(1) on a parallelized collection would embed every slice's
+    // values in the single task's binary (ParallelCollectionPartition
+    // serializes its data), recreating exactly the giant task the slicing
+    // exists to avoid; after orderBy the final task fetches shuffle
+    // blocks instead.
+    def sliced[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+        rows: Seq[T], sortCols: String*): DataFrame =
+      spark.createDataset(spark.sparkContext.parallelize(rows,
+          math.min(256, rows.length / 2000 + 1)))
+        .orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .toDF()
+
     // x5/x18: near-dup pairs over documents — single-node banding
     val dd = docs(spark, d)
-    write("x5_minhash_pairs",
+    write("x5_minhash_pairs", sliced(
       minhashPairsMirror(dd.toSeq, shingleK = 5, bands = 16, rowsPerBand = 4,
         threshold = 0.35)
-        .map { case (a, b, j) => KPair(a, b, j) }.toDS().toDF())
+        .map { case (a, b, j) => KPair(a, b, j) }, "id_a", "id_b"))
 
     write("x18_simhash_pairs", {
       // token-less texts generate no chunks (mirrors the engine's
@@ -653,10 +673,10 @@ object AnswerKeys {
           i += 1
         }
       }
-      cand.toSeq.map { case (i, j) =>
+      sliced(cand.toSeq.map { case (i, j) =>
         K18(sigs(i)._1, sigs(j)._1,
           java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2))
-      }.filter(_.hamming <= 12).sortBy(k => (k.id_a, k.id_b)).toDS().toDF()
+      }.filter(_.hamming <= 12), "id_a", "id_b")
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents
