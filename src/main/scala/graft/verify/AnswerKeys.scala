@@ -19,9 +19,14 @@ import scala.collection.mutable
   * for x1–x4/x17, GENERATION-TIME truth — the extraction keys come from
   * FixtureGen's answer key, never from running the extractor).
   *
-  * Everything here is driver-side plain Scala: hash maps and loops stand in
-  * for Spark's exchanges and joins, so a wrong shuffle/join/dedup in the
-  * distributed plan cannot reproduce itself in the key. Since round 3 the
+  * The MIRROR keys are driver-side plain Scala: hash maps and loops stand
+  * in for Spark's exchanges and joins, so a wrong shuffle/join/dedup in
+  * the distributed plan cannot reproduce itself in the key. (The
+  * generation-TRUTH keys — x1–x4/x21–x23/x25 and the media keys — are
+  * index-addressable and synthesized with `spark.range` on executors
+  * instead: their independence comes from FixtureGen's recorded answer,
+  * not from single-node structure, and the distributed form keeps the
+  * driver heap and task sizes corpus-size-independent.) Since round 3 the
   * SCALAR kernels are independent too: simhash, fingerprint, langid, BPE
   * count, shingles, minhash, band hashes, jaccard, and LSH buckets are all
   * second implementations (the `*Mirror` section below — bit-equivalence
