@@ -472,6 +472,34 @@ object SparkEntry {
           .toDF("failure", "n", "chars")
       } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
     }),
+    "x26_incremental_neardup" -> ((s, d) => {
+      // INCREMENTAL near-dup (the 10^12-doc production shape): a corpus
+      // is indexed ONCE per ingest wave — ids + band hashes only, written
+      // bucketed AND sorted on the join key — and each NEW batch probes
+      // the persisted index instead of re-deduping the whole corpus: the
+      // probe is an equi-join with NO exchange on the (corpus-sized)
+      // index side, only the new batch's band rows move, and only
+      // surviving candidates pay the exact-Jaccard verify. The old/new
+      // split is deterministic by id parity so the oracle mirror
+      // reproduces it without a count.
+      import graft.functions.Dedup
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val committed = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 =!= 0)
+      val tbl = "x26_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        Dedup.writeMinhashIndex(committed, "doc_id", "text", tbl,
+          shingleK = 5, bands = 16, rowsPerBand = 4, buckets = 8)
+        import s.implicits._
+        // eager collect: the index table is dropped on exit (x24 pattern)
+        Dedup.probeMinhashIndex(fresh, "doc_id", "text", tbl, committed,
+          shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.35)
+          .orderBy("new_id", "old_id")
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toDF("new_id", "old_id", "jaccard")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -596,6 +624,8 @@ object SparkEntry {
     "x24_staged_funnel" -> aux("x24_staged_funnel",
       "runs, resumed_docs, extracted_ok, qualified, exact_deduped, final_docs", "runs"),
     "x25_streaming_extract" -> aux("x25_streaming_extract", "failure, n, chars", "failure"),
+    "x26_incremental_neardup" -> aux("x26_incremental_neardup",
+      "new_id, old_id, jaccard", "new_id, old_id"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -520,6 +520,7 @@ object AnswerKeys {
   final case class K21(host: String, docs: Long, n_ok: Long, chars_out: Long)
   final case class K22(url: String, kept_seq: Int, label: String, words: Int, link_words: Int)
   final case class K23(line_id: Long, repaired: String)
+  final case class K26(new_id: Long, old_id: Long, jaccard: Double)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -682,6 +683,31 @@ object AnswerKeys {
         K18(sigs(i)._1, sigs(j)._1,
           java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2))
       }.filter(_.hamming <= 12), "id_a", "id_b")
+    })
+
+    // x26: INCREMENTAL near-dup — even-id half indexed by band hash, odd
+    // half probed. Bucketing is by band_hash ALONE (the band ordinal is
+    // folded into each hash — the engine index's join-key contract);
+    // hash-map probe, never a join.
+    write("x26_incremental_neardup", {
+      val byId = dd.toMap
+      val index = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
+      dd.filter(_._1 % 2 == 0).foreach { case (id, t) =>
+        if (t != null && t.length >= 5)
+          bandHashesMirror(minhashMirror(t, 5, 64), 16, 4).foreach(h =>
+            index.getOrElseUpdate(h, new mutable.ArrayBuffer[Long]) += id)
+      }
+      val cand = new mutable.HashSet[(Long, Long)]()
+      dd.filter(_._1 % 2 != 0).foreach { case (id, t) =>
+        if (t != null && t.length >= 5)
+          bandHashesMirror(minhashMirror(t, 5, 64), 16, 4).foreach(h =>
+            index.get(h).foreach(_.foreach(o => if (o != id) cand += ((id, o)))))
+      }
+      sliced(cand.toSeq
+        .map { case (nId, o) => (nId, o, jaccardMirror(byId(nId), byId(o), 5)) }
+        .filter(_._3 >= 0.35) // threshold on the RAW value (as the plan does)
+        .map { case (a, b, j) => K26(a, b, round4(j)) }
+        .sortBy(k => (k.new_id, k.old_id)), "new_id", "old_id")
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents

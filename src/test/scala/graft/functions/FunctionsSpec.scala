@@ -291,6 +291,68 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental near-dup: probe reports new-vs-old pairs only") {
+    val base = "large language models are trained on deduplicated web text corpora " +
+      "because repeated documents waste compute and bias the distribution"
+    val nearA = base.replace("waste", "burn")
+    val nearB = base.replace("compute", "budget")
+    val other = "completely different subject matter entirely unrelated to the " +
+      "previous documents in every possible way shape and form"
+    // committed (old) corpus: 2 -> near dup of base, 4 -> distinct;
+    // new batch: 1 -> base (pairs with 2), 3 -> ALSO near base (a
+    // new-new near-dup pair 1-3 must NOT be reported), 5 -> distinct
+    val old = docs(2 -> nearA, 4 -> other)
+    val fresh = docs(1 -> base, 3 -> nearB, 5 -> "nothing shared here at all truly")
+    val tbl = "inc_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      Dedup.writeMinhashIndex(old, "doc_id", "text", tbl, buckets = 4)
+      val got = Dedup.probeMinhashIndex(fresh, "doc_id", "text", tbl, old,
+        threshold = 0.5).collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(got == Seq((1, 2), (3, 2)), s"got=$got")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("incremental probe: the index side is NEVER shuffled (bucketed scan, 100 TB contract)") {
+    // the point of the persisted index: at 10^12 docs the corpus-sized
+    // side of the probe join must come straight off its bucketed files —
+    // only the new batch's band rows (ids + hashes) may cross an exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tbl = "inc_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val old = docs((1 to 40).filter(_ % 2 == 0)
+        .map(i => i -> s"document number $i with some shared words and tail $i"): _*)
+      val fresh = docs((1 to 40).filter(_ % 2 != 0)
+        .map(i => i -> s"document number $i with some shared words and tail $i"): _*)
+      Dedup.writeMinhashIndex(old, "doc_id", "text", tbl, buckets = 4)
+      val q = Dedup.probeMinhashIndex(fresh, "doc_id", "text", tbl, old, threshold = 0.1)
+      val plan = q.queryExecution.executedPlan
+      // the index files ARE scanned, through the bucket spec ...
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+        s"expected a bucketed file scan of the index:\n$plan")
+      // ... and the scan reaches its join WITHOUT crossing an exchange
+      // (downstream candidate-id exchanges legitimately have the scan in
+      // their subtree; the contract is about the scan-to-join path — the
+      // corpus-sized side must come straight off its bucketed files)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(joins.exists(_.children.exists(c =>
+        c.collect { case f: FileSourceScanExec => f }.nonEmpty &&
+          c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+        s"index scan rides an exchange before its join:\n$plan")
+      // the probe-side band exchange is ids+hashes only
+      payloadFreeCandidateExchanges(plan, Set("band_hash"), Seq("text"))
+      assert(q.count() >= 0) // plan also executes
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
     // every empty/whitespace-only text hashes to sig 0L — all four chunks
     // collide, so m such docs formed one m²/2 candidate clique at web scale
