@@ -536,7 +536,12 @@ object AnswerKeys {
 
   private def embs(spark: SparkSession, d: String): Array[(Long, Array[Float])] =
     spark.read.parquet(s"$d/embeddings.parquet").select("vec_id", "embedding")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      .collect()
+      // mirror of the engine's dirty-row behavior (round-4: the IVF
+      // trainer/probe skip null embeddings — the mirror must see the same
+      // input set, and would otherwise NPE and delete every ANN key)
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
   // ---------- the keys ----------------------------------------------------
 
@@ -637,8 +642,11 @@ object AnswerKeys {
     // blocks instead.
     def sliced[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
         rows: Seq[T], sortCols: String*): DataFrame =
+      // no slice cap: pair lists are corpus-quadratic, and a cap would
+      // silently regrow the giant tasks past cap*2000 rows — scheduler
+      // overhead for a few thousand key-gen tasks is the cheaper failure
       spark.createDataset(spark.sparkContext.parallelize(rows,
-          math.min(256, rows.length / 2000 + 1)))
+          rows.length / 2000 + 1))
         .orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
         .toDF()
 
