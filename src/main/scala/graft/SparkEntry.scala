@@ -500,6 +500,22 @@ object SparkEntry {
           .toDF("new_id", "old_id", "jaccard")
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
+    "x27_training_mix" -> ((s, d) => {
+      // training-mix sampling: deterministic per-language downsampling (a
+      // pure xxhash64 filter — bit-reproducible at any cluster size, no
+      // RNG state) then a skew-safe per-language cap (shuffle-free
+      // bounded-heap prune per partition, exact window over the tiny
+      // survivor set — no language ever funnels its whole corpus share
+      // through one reducer)
+      import graft.functions.Sampling
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.35), defaultRate = 0.8)
+      Sampling.capPerStratum(mixed, "doc_id", "lang", "n_chars", k = 30)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("ord").cast("long").as("n_chars"))
+        .orderBy("lang", "doc_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -626,6 +642,8 @@ object SparkEntry {
     "x25_streaming_extract" -> aux("x25_streaming_extract", "failure, n, chars", "failure"),
     "x26_incremental_neardup" -> aux("x26_incremental_neardup",
       "new_id, old_id, jaccard", "new_id, old_id"),
+    "x27_training_mix" -> aux("x27_training_mix",
+      "doc_id, lang, n_chars", "lang, doc_id"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.JavaConverters._
+
+/** Training-mix sampling for web-scale corpora: deterministic hash
+  * sampling (uniform and per-stratum rates) and a skew-safe per-stratum
+  * cap — the operators that turn a deduplicated crawl into a training
+  * mixture (downsample over-represented languages/sources, bound any one
+  * stratum's contribution).
+  *
+  * Scale design (10^12 docs):
+  *  - sampling is a PURE FILTER on `xxhash64(id)` — no RNG state, no
+  *    shuffle, bit-reproducible across runs, executors and cluster
+  *    sizes, and pushable below wide transforms (`rand()` sampling is
+  *    none of these: per-task state makes the kept set depend on the
+  *    physical split layout);
+  *  - the cap never funnels a whole stratum through one task: a
+  *    shuffle-free per-partition prune (bounded heaps inside
+  *    mapPartitions) reduces each stratum to at most k rows PER
+  *    PARTITION before the exact global window runs over the
+  *    ≤ k·partitions survivors. Low-cardinality strata (a handful of
+  *    languages over 10^12 docs) would otherwise each serialize on one
+  *    window reducer holding billions of rows.
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** Deterministic keep-predicate: pmod(xxhash64(id), 10^6) < rate·10^6.
+    * Spark's xxhash64 (seed 42) over the id column; the oracle mirrors it
+    * bit-exactly (AnswerKeys.xxh64LongMirror). The rate→threshold product
+    * is IEEE double then truncated, on both sides. */
+  private def keeps(idCol: Column, rate: Column): Column =
+    pmod(xxhash64(idCol), lit(M)) < (rate * lit(M)).cast("long")
+
+  /** Uniform deterministic sample: keeps ≈ rate of rows, stable per id. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(keeps(col(idCol), lit(rate)))
+
+  /** Stratified training mix: per-stratum keep rates with a default for
+    * unlisted strata. The rates map is tiny (languages, sources) so it
+    * compiles to a codegen'd CASE chain — no join, and the keep set per
+    * stratum is a PREFIX-stable superset/subset across rate changes (the
+    * hash threshold moves, membership of unaffected ids does not). */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(keeps(col(idCol), rateCol))
+  }
+
+  /** Keep the top-k rows of each stratum by (orderCol DESC, id ASC) —
+    * "cap each language at k docs, best first". Returns (id, stratum,
+    * ord); ids must cast to long, orderCol to double. NULL ord rows rank
+    * last (ties broken by id), NULL strata form their own stratum.
+    *
+    * Two stages: a shuffle-free per-partition bounded-heap prune, then
+    * the exact row_number window over the ≤ k·partitions survivors — the
+    * window's exchange moves almost nothing, and no stratum ever funnels
+    * its full corpus share through one reducer. */
+  def capPerStratum(
+      df: DataFrame, idCol: String, strataCol: String,
+      orderCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(strataCol).as("stratum"), col(orderCol).cast("double").as("ord"))
+    // heap key ordering: FIRST element = the worst kept row. null ord maps
+    // to -Infinity here AND in the window sort key below, so both stages
+    // rank identically (real -Inf values tie with nulls; id breaks ties).
+    val worseFirst = new java.util.Comparator[(Double, Long)] with java.io.Serializable {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+    val pruned = slim.mapPartitions { it =>
+      val heaps = new scala.collection.mutable.HashMap[String, java.util.TreeMap[(Double, Long), Row]]()
+      it.foreach { row =>
+        val stratum = if (row.isNullAt(1)) null else row.getString(1)
+        val ord = if (row.isNullAt(2)) Double.NegativeInfinity else row.getDouble(2)
+        val key = (ord, row.getLong(0))
+        val heap = heaps.getOrElseUpdate(stratum,
+          new java.util.TreeMap[(Double, Long), Row](worseFirst))
+        if (heap.size < k) heap.put(key, row)
+        else if (worseFirst.compare(key, heap.firstKey) > 0) {
+          heap.pollFirstEntry(); heap.put(key, row)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.values.iterator.asScala)
+    }(org.apache.spark.sql.Encoders.row(slim.schema))
+    val w = Window.partitionBy("stratum")
+      .orderBy(coalesce(col("ord"), lit(Double.NegativeInfinity)).desc, col("id").asc)
+    pruned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+}

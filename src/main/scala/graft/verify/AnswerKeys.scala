@@ -521,6 +521,7 @@ object AnswerKeys {
   final case class K22(url: String, kept_seq: Int, label: String, words: Int, link_words: Int)
   final case class K23(line_id: Long, repaired: String)
   final case class K26(new_id: Long, old_id: Long, jaccard: Double)
+  final case class K27(doc_id: Long, lang: String, n_chars: Long)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -716,6 +717,28 @@ object AnswerKeys {
         .filter(_._3 >= 0.35) // threshold on the RAW value (as the plan does)
         .map { case (a, b, j) => K26(a, b, round4(j)) }
         .sortBy(k => (k.new_id, k.old_id)), "new_id", "old_id")
+    })
+
+    // x27: training-mix sampling — the SAME deterministic keep rule
+    // re-derived from xxh64LongMirror + plain double arithmetic (Spark:
+    // pmod(xxhash64(id),1e6) < cast(rate*1e6 as long) — rate*1e6 is IEEE
+    // double then truncated on BOTH sides), and the per-lang cap as a
+    // plain sort+take instead of the engine's heap-prune + window
+    write("x27_training_mix", {
+      val meta = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val kept = meta.filter { case (id, lang, _) =>
+        val rate = lang match {
+          case "en" => 0.5; case "zh" => 0.35; case _ => 0.8
+        }
+        val h = xxh64LongMirror(id)
+        ((h % 1000000L) + 1000000L) % 1000000L < (rate * 1000000L).toLong
+      }
+      kept.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _, nc) => (-nc, id) }.take(30)
+      }.map { case (id, lang, nc) => K27(id, lang, nc) }
+        .sortBy(k => (k.lang, k.doc_id)).toSeq.toDS().toDF()
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents
