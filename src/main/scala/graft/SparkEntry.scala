@@ -516,6 +516,20 @@ object SparkEntry {
           col("ord").cast("long").as("n_chars"))
         .orderBy("lang", "doc_id")
     }),
+    "x28_sequence_packing" -> ((s, d) => {
+      // sequence packing (the pretraining step after the mix):
+      // deterministic first-fit-decreasing into 512-token bins within
+      // xxhash64 groups — every doc's (group, bin) is a pure function of
+      // the data, independent of cluster size and split layout, so the
+      // packed dataset is reproducible
+      import graft.functions.{Sampling, TextAnalysis}
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      Sampling.packSequences(docs, "doc_id", "bpe", capacity = 512L, numGroups = 8)
+        .select(col("id").as("doc_id"), col("grp"), col("bin"),
+          col("tokens").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -644,6 +658,8 @@ object SparkEntry {
       "new_id, old_id, jaccard", "new_id, old_id"),
     "x27_training_mix" -> aux("x27_training_mix",
       "doc_id, lang, n_chars", "lang, doc_id"),
+    "x28_sequence_packing" -> aux("x28_sequence_packing",
+      "doc_id, grp, bin, bpe_tokens", "doc_id"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

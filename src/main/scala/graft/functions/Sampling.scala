@@ -98,4 +98,54 @@ object Sampling {
     pruned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k).drop("_rn")
   }
+
+  /** Sequence packing (the pretraining step after the mix): pack docs
+    * into bins of at most `capacity` tokens by first-fit-decreasing,
+    * DETERMINISTICALLY — the (group, bin) of every doc is a pure function
+    * of the data, independent of cluster size or split layout.
+    *
+    * Docs are assigned to `numGroups` LOGICAL groups by
+    * `pmod(xxhash64(id), numGroups)` (not by physical partition — a
+    * partition-local packing would change with the layout); each group is
+    * packed independently by FFD over its docs sorted (tokens desc, id
+    * asc). One exchange (the groupByKey), kernel inside. Size numGroups
+    * like shuffle partitions: a group must fit one task's memory — at
+    * 10^12 docs that means millions of groups, which costs nothing (the
+    * group id is a hash, not a distinct-count). A doc larger than
+    * `capacity` gets a bin of its own (truncation is the caller's
+    * policy, not the packer's).
+    *
+    * Returns (id, grp, bin, tokens): bin ids are dense per group in FFD
+    * creation order. */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Long, numGroups: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(numGroups > 0, s"numGroups must be positive, got $numGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(tokenCol).cast("long").as("tokens"),
+      pmod(xxhash64(col(idCol).cast("long")), lit(numGroups.toLong)).as("grp"))
+      .as[PackDoc]
+    slim.groupByKey(_.grp)
+      .flatMapGroups { (grp, it) =>
+        // FFD: sort (tokens desc, id asc), first bin with room, else new.
+        // The first-fit scan is linear in bins — size numGroups so a
+        // group holds ~10^4 docs and the scan stays trivial per task.
+        val docs = it.toArray.sortBy(p => (-p.tokens, p.id))
+        val room = new scala.collection.mutable.ArrayBuffer[Long]()
+        docs.iterator.map { p =>
+          var b = 0
+          while (b < room.length && room(b) < p.tokens) b += 1
+          if (b == room.length) room += (capacity - p.tokens).max(0L)
+          else room(b) -= p.tokens
+          (p.id, grp, b, p.tokens)
+        }
+      }
+      .toDF("id", "grp", "bin", "tokens")
+  }
+
+  /** Packing input row (public: Spark codegen instantiates it). */
+  final case class PackDoc(id: Long, tokens: Long, grp: Long)
 }

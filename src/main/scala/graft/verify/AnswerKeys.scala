@@ -522,6 +522,7 @@ object AnswerKeys {
   final case class K23(line_id: Long, repaired: String)
   final case class K26(new_id: Long, old_id: Long, jaccard: Double)
   final case class K27(doc_id: Long, lang: String, n_chars: Long)
+  final case class K28(doc_id: Long, grp: Long, bin: Int, bpe_tokens: Long)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -739,6 +740,28 @@ object AnswerKeys {
         rows.sortBy { case (id, _, nc) => (-nc, id) }.take(30)
       }.map { case (id, lang, nc) => K27(id, lang, nc) }
         .sortBy(k => (k.lang, k.doc_id)).toSeq.toDS().toDF()
+    })
+
+    // x28: sequence packing — token counts from the INDEPENDENT BPE
+    // mirror (x20's), grouping from xxh64LongMirror + plain modular
+    // arithmetic; the FFD greedy itself is THE spec (like quality()),
+    // re-written here as its own loop
+    write("x28_sequence_packing", {
+      val toks = dd.map { case (id, t) => (id, bpeTokenCountMirror(t).toLong) }
+      toks.groupBy { case (id, _) =>
+        val h = xxh64LongMirror(id)
+        ((h % 8L) + 8L) % 8L
+      }.toSeq.flatMap { case (g, ds) =>
+        val sorted = ds.sortBy { case (id, tk) => (-tk, id) }
+        val room = new mutable.ArrayBuffer[Long]()
+        sorted.map { case (id, tk) =>
+          var b = 0
+          while (b < room.length && room(b) < tk) b += 1
+          if (b == room.length) room += math.max(0L, 512L - tk)
+          else room(b) -= tk
+          K28(id, g, b, tk)
+        }
+      }.sortBy(_.doc_id).toSeq.toDS().toDF()
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents

@@ -76,6 +76,36 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("packSequences: capacity respected, layout-independent, oversize isolated") {
+    val s = spark; import s.implicits._
+    // token sizes exercising: oversize (700 > 512), exact fit, zeros
+    val df = (0L until 60L).map(i =>
+      (i, if (i == 7) 700L else if (i == 11) 512L else i * 13 % 200))
+      .toDF("doc_id", "bpe")
+    val packed = Sampling.packSequences(df, "doc_id", "bpe",
+      capacity = 512L, numGroups = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(packed.size == 60)
+    // identical assignment under a different physical layout
+    val packed2 = Sampling.packSequences(df.repartition(7), "doc_id", "bpe",
+      capacity = 512L, numGroups = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(packed == packed2, "packing must not depend on the split layout")
+    // no bin over capacity, except a singleton oversize doc's own bin
+    packed.toSeq.groupBy { case (_, (g, b, _)) => (g, b) }.foreach {
+      case ((g, b), members) =>
+        val tot = members.map(_._2._3).sum
+        assert(tot <= 512L || members.map(_._1) == Seq(7L),
+          s"bin ($g,$b) holds $tot tokens: $members")
+    }
+    // the oversize doc shares its bin with (at most) zero-token docs only
+    val (g7, b7, _) = packed(7L)
+    val mates = packed.filter { case (id, (g, b, _)) => g == g7 && b == b7 && id != 7L }
+    assert(mates.values.forall(_._3 == 0L), s"oversize bin mates: $mates")
+  }
+
   test("capPerStratum: the prune stage is shuffle-free (100 TB contract)") {
     // the per-partition bounded-heap prune must run where the data sits;
     // the only exchange is the window's, over <= k*partitions survivors —
