@@ -30,11 +30,14 @@ object Sampling {
   private val M = 1000000L
 
   /** Deterministic keep-predicate: pmod(xxhash64(id), 10^6) < rate·10^6.
-    * Spark's xxhash64 (seed 42) over the id column; the oracle mirrors it
-    * bit-exactly (AnswerKeys.xxh64LongMirror). The rate→threshold product
-    * is IEEE double then truncated, on both sides. */
+    * Spark's xxhash64 (seed 42) over the id CAST TO LONG — xxhash64 hashes
+    * an int's 4 bytes differently from a long's 8, and the documented
+    * audit contract is the LONG hash (AnswerKeys.xxh64LongMirror), so the
+    * cast keeps non-long id columns on the mirrorable rule instead of
+    * silently diverging. The rate→threshold product is IEEE double then
+    * truncated, on both sides. */
   private def keeps(idCol: Column, rate: Column): Column =
-    pmod(xxhash64(idCol), lit(M)) < (rate * lit(M)).cast("long")
+    pmod(xxhash64(idCol.cast("long")), lit(M)) < (rate * lit(M)).cast("long")
 
   /** Uniform deterministic sample: keeps ≈ rate of rows, stable per id. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
@@ -56,8 +59,10 @@ object Sampling {
 
   /** Keep the top-k rows of each stratum by (orderCol DESC, id ASC) —
     * "cap each language at k docs, best first". Returns (id, stratum,
-    * ord); ids must cast to long, orderCol to double. NULL ord rows rank
-    * last (ties broken by id), NULL strata form their own stratum.
+    * ord); ids must cast to long, orderCol to double, strata are compared
+    * by their STRING form (the column is cast — an int source id or a
+    * date bucket groups by its rendering). NULL ord rows rank last (ties
+    * broken by id), NULL strata form their own stratum.
     *
     * Two stages: a shuffle-free per-partition bounded-heap prune, then
     * the exact row_number window over the ≤ k·partitions survivors — the
@@ -68,7 +73,8 @@ object Sampling {
       orderCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val slim = df.select(col(idCol).cast("long").as("id"),
-      col(strataCol).as("stratum"), col(orderCol).cast("double").as("ord"))
+      col(strataCol).cast("string").as("stratum"),
+      col(orderCol).cast("double").as("ord"))
     // heap key ordering: FIRST element = the worst kept row. null ord maps
     // to -Infinity here AND in the window sort key below, so both stages
     // rank identically (real -Inf values tie with nulls; id breaks ties).
@@ -79,19 +85,32 @@ object Sampling {
       }
     }
     val pruned = slim.mapPartitions { it =>
-      val heaps = new scala.collection.mutable.HashMap[String, java.util.TreeMap[(Double, Long), Row]]()
+      // bucket per key, NOT one slot: fully-duplicate rows (same ord AND
+      // id) must each survive the prune when they fit in the top k, or
+      // the kept COUNT would depend on which partition the copies landed
+      // in — the layout-independence this operator promises
+      final class Heap {
+        val byKey = new java.util.TreeMap[(Double, Long), scala.collection.mutable.ArrayBuffer[Row]](worseFirst)
+        var size = 0
+        def add(key: (Double, Long), row: Row): Unit =
+          if (size < k) {
+            byKey.computeIfAbsent(key, _ => new scala.collection.mutable.ArrayBuffer[Row]) += row
+            size += 1
+          } else if (worseFirst.compare(key, byKey.firstKey) > 0) {
+            val worst = byKey.firstEntry.getValue
+            worst.remove(worst.length - 1)
+            if (worst.isEmpty) byKey.pollFirstEntry()
+            byKey.computeIfAbsent(key, _ => new scala.collection.mutable.ArrayBuffer[Row]) += row
+          }
+      }
+      val heaps = new scala.collection.mutable.HashMap[String, Heap]()
       it.foreach { row =>
         val stratum = if (row.isNullAt(1)) null else row.getString(1)
         val ord = if (row.isNullAt(2)) Double.NegativeInfinity else row.getDouble(2)
-        val key = (ord, row.getLong(0))
-        val heap = heaps.getOrElseUpdate(stratum,
-          new java.util.TreeMap[(Double, Long), Row](worseFirst))
-        if (heap.size < k) heap.put(key, row)
-        else if (worseFirst.compare(key, heap.firstKey) > 0) {
-          heap.pollFirstEntry(); heap.put(key, row)
-        }
+        heaps.getOrElseUpdate(stratum, new Heap)
+          .add((ord, row.getLong(0)), row)
       }
-      heaps.valuesIterator.flatMap(_.values.iterator.asScala)
+      heaps.valuesIterator.flatMap(_.byKey.values.iterator.asScala.flatten)
     }(org.apache.spark.sql.Encoders.row(slim.schema))
     val w = Window.partitionBy("stratum")
       .orderBy(coalesce(col("ord"), lit(Double.NegativeInfinity)).desc, col("id").asc)
@@ -124,9 +143,14 @@ object Sampling {
     require(numGroups > 0, s"numGroups must be positive, got $numGroups")
     val spark = df.sparkSession
     import spark.implicits._
-    val slim = df.select(col(idCol).cast("long").as("id"),
-      col(tokenCol).cast("long").as("tokens"),
-      pmod(xxhash64(col(idCol).cast("long")), lit(numGroups.toLong)).as("grp"))
+    // null ids carry no identity to hash or emit — dropped (documented);
+    // a null token count packs as 0 (PackDoc's primitive fields would
+    // otherwise kill the job on the first null, unlike capPerStratum's
+    // graceful null handling)
+    val slim = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("tokens"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(numGroups.toLong)).as("grp"))
       .as[PackDoc]
     slim.groupByKey(_.grp)
       .flatMapGroups { (grp, it) =>

@@ -733,8 +733,7 @@ object AnswerKeys {
         val rate = lang match {
           case "en" => 0.5; case "zh" => 0.35; case _ => 0.8
         }
-        val h = xxh64LongMirror(id)
-        ((h % 1000000L) + 1000000L) % 1000000L < (rate * 1000000L).toLong
+        java.lang.Math.floorMod(xxh64LongMirror(id), 1000000L) < (rate * 1000000L).toLong
       }
       kept.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
         rows.sortBy { case (id, _, nc) => (-nc, id) }.take(30)
@@ -749,8 +748,7 @@ object AnswerKeys {
     write("x28_sequence_packing", {
       val toks = dd.map { case (id, t) => (id, bpeTokenCountMirror(t).toLong) }
       toks.groupBy { case (id, _) =>
-        val h = xxh64LongMirror(id)
-        ((h % 8L) + 8L) % 8L
+        java.lang.Math.floorMod(xxh64LongMirror(id), 8L)
       }.toSeq.flatMap { case (g, ds) =>
         val sorted = ds.sortBy { case (id, tk) => (-tk, id) }
         val room = new mutable.ArrayBuffer[Long]()

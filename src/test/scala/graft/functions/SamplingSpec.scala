@@ -49,8 +49,8 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val expected = (0 until 300).filter { i =>
       val rate = rates.getOrElse(Seq("en", "de", "zh")(i % 3), 0.8)
-      val h = graft.verify.AnswerKeys.xxh64LongMirror(i.toLong)
-      ((h % 1000000L) + 1000000L) % 1000000L < (rate * 1000000L).toLong
+      java.lang.Math.floorMod(
+        graft.verify.AnswerKeys.xxh64LongMirror(i.toLong), 1000000L) < (rate * 1000000L).toLong
     }.map(_.toLong).toSet
     assert(got == expected)
   }
@@ -93,11 +93,12 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getLong(3))))
       .toMap
     assert(packed == packed2, "packing must not depend on the split layout")
-    // no bin over capacity, except a singleton oversize doc's own bin
+    // no bin over capacity, except an oversize doc's own bin (which FFD
+    // may legally top up with zero-token docs — exempt those)
     packed.toSeq.groupBy { case (_, (g, b, _)) => (g, b) }.foreach {
       case ((g, b), members) =>
         val tot = members.map(_._2._3).sum
-        assert(tot <= 512L || members.map(_._1) == Seq(7L),
+        assert(tot <= 512L || members.count(_._2._3 > 0L) == 1,
           s"bin ($g,$b) holds $tot tokens: $members")
     }
     // the oversize doc shares its bin with (at most) zero-token docs only
