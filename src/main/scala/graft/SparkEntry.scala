@@ -530,6 +530,21 @@ object SparkEntry {
           col("tokens").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    "x29_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: corpus docs sharing a word 4-gram with
+      // the "evaluation set" (first 25 docs). The benchmark's distinct
+      // n-gram hashes are BROADCAST — the corpus side is a map-side
+      // left-semi join, its payload never crosses an exchange, and the
+      // only shuffle is the final ids-only distinct
+      import graft.functions.Decontaminate
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 25)
+      val corpus = docs.filter(col("doc_id") >= 25)
+      Decontaminate.contaminatedIds(corpus, "doc_id", "text", bench, "text", n = 4)
+        .select(col("id").as("doc_id"))
+        .orderBy("doc_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -660,6 +675,7 @@ object SparkEntry {
       "doc_id, lang, n_chars", "lang, doc_id"),
     "x28_sequence_packing" -> aux("x28_sequence_packing",
       "doc_id, grp, bin, bpe_tokens", "doc_id"),
+    "x29_decontaminate" -> aux("x29_decontaminate", "doc_id", "doc_id"),
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

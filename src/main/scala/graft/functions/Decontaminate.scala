@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus docs that share at least one
+  * word n-gram with an evaluation set — the standard guard against eval
+  * leakage in a pretraining corpus (13-gram overlap in published
+  * pipelines; n is a parameter).
+  *
+  * Scale design (10^12-doc corpus, 10^4..10^6-doc benchmark): the
+  * benchmark's distinct n-gram hashes are SMALL by nature — they are
+  * BROADCAST, so the corpus side is a map-side left-semi hash join: the
+  * corpus payload never crosses an exchange, each doc is scanned once,
+  * and the only shuffle in the whole plan is the final distinct over the
+  * contaminated ids (ids only). Plan-asserted in DecontaminateSpec.
+  *
+  * The n-gram hash is a plain spec (token = maximal non-whitespace run,
+  * token hash = polynomial base 1000003 over UTF-16 units, window hash =
+  * fmix64-chained over the n token hashes from an FNV offset seed) so
+  * the oracle re-derives it independently.
+  */
+object Decontaminate {
+
+  /** Distinct hashes of all word n-grams of `text` (empty for null/short
+    * texts — a doc with fewer than n tokens has no n-gram to leak). */
+  def wordNgramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    // tokenize: index scan over maximal non-whitespace runs
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      var h = 0L
+      val start = i
+      while (i < len && !Character.isWhitespace(text.charAt(i))) {
+        h = h * 1000003L + text.charAt(i)
+        i += 1
+      }
+      if (i > start) tokHashes += h
+    }
+    if (tokHashes.length < n) return Array.empty
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w + n <= tokHashes.length) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) { h = TextAnalysis.fmix64(h ^ tokHashes(w + j)); j += 1 }
+      set.add(h)
+      w += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Ids of corpus docs sharing >= 1 word n-gram with any benchmark doc.
+    * The benchmark side is explicitly broadcast — at corpus scale the
+    * semi join MUST be map-side; an accidental shuffle join would move
+    * the exploded corpus n-grams (n x the corpus bytes). */
+  def contaminatedIds(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val ngramUdf = udf((t: String) => wordNgramHashes(t, n))
+    val benchHashes = benchmark
+      .select(explode(ngramUdf(col(benchTextCol))).as("h")).distinct()
+    Dedup.parallelize(corpus.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), explode(ngramUdf(col("text"))).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .select("id").distinct()
+  }
+}

@@ -523,6 +523,7 @@ object AnswerKeys {
   final case class K26(new_id: Long, old_id: Long, jaccard: Double)
   final case class K27(doc_id: Long, lang: String, n_chars: Long)
   final case class K28(doc_id: Long, grp: Long, bin: Int, bpe_tokens: Long)
+  final case class K29(doc_id: Long)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -760,6 +761,37 @@ object AnswerKeys {
           K28(id, g, b, tk)
         }
       }.sortBy(_.doc_id).toSeq.toDS().toDF()
+    })
+
+    // x29: decontamination — the n-gram hash spec re-derived with a
+    // builder-based tokenizer (the kernel scans indices) and a foldLeft
+    // window combine; containment via a plain hash-set intersection,
+    // never a join
+    write("x29_decontaminate", {
+      def ngrams(text: String, n: Int): Set[Long] = {
+        if (text == null) return Set.empty
+        val toks = new mutable.ArrayBuffer[Long]()
+        val sb = new java.lang.StringBuilder
+        def flush(): Unit = if (sb.length > 0) {
+          var h = 0L
+          (0 until sb.length).foreach(i => h = h * 1000003L + sb.charAt(i))
+          toks += h
+          sb.setLength(0)
+        }
+        text.foreach(c =>
+          if (Character.isWhitespace(c)) flush() else { sb.append(c); () })
+        flush()
+        if (toks.length < n) Set.empty
+        else (0 to toks.length - n).map { w =>
+          (0 until n).foldLeft(0xCBF29CE484222325L)((h, j) => mix64(h ^ toks(w + j)))
+        }.toSet
+      }
+      val benchSet = dd.filter(_._1 < 25).iterator
+        .flatMap { case (_, t) => ngrams(t, 4) }.toSet
+      dd.filter(_._1 >= 25)
+        .filter { case (_, t) => ngrams(t, 4).exists(benchSet) }
+        .map { case (id, _) => K29(id) }
+        .sortBy(_.doc_id).toSeq.toDS().toDF()
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents
