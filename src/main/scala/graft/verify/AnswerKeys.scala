@@ -352,6 +352,29 @@ object AnswerKeys {
     * the short-input accumulator, then the avalanche). Independent
     * re-implementation for the IVF training-sample mirror; bit-equality
     * vs the Spark expression is pinned in MirrorIndependenceSpec. */
+  /** x29's word n-gram hash spec re-derived: builder-based tokenizer (the
+    * kernel scans indices), foldLeft window combine (the kernel uses a
+    * while loop). Bit-equivalence vs Decontaminate.wordNgramHashes pinned
+    * in MirrorIndependenceSpec. */
+  def ngramHashesMirror(text: String, n: Int): Set[Long] = {
+    if (text == null) return Set.empty
+    val toks = new mutable.ArrayBuffer[Long]()
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) {
+      var h = 0L
+      (0 until sb.length).foreach(i => h = h * 1000003L + sb.charAt(i))
+      toks += h
+      sb.setLength(0)
+    }
+    text.foreach(c =>
+      if (Character.isWhitespace(c)) flush() else { sb.append(c); () })
+    flush()
+    if (toks.length < n) Set.empty
+    else (0 to toks.length - n).map { w =>
+      (0 until n).foldLeft(0xCBF29CE484222325L)((h, j) => mix64(h ^ toks(w + j)))
+    }.toSet
+  }
+
   def xxh64LongMirror(value: Long, seed: Long = 42L): Long = {
     val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
     val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
@@ -763,33 +786,14 @@ object AnswerKeys {
       }.sortBy(_.doc_id).toSeq.toDS().toDF()
     })
 
-    // x29: decontamination — the n-gram hash spec re-derived with a
-    // builder-based tokenizer (the kernel scans indices) and a foldLeft
-    // window combine; containment via a plain hash-set intersection,
+    // x29: decontamination — [[ngramHashesMirror]] is the independent
+    // n-gram derivation; containment via a plain hash-set intersection,
     // never a join
     write("x29_decontaminate", {
-      def ngrams(text: String, n: Int): Set[Long] = {
-        if (text == null) return Set.empty
-        val toks = new mutable.ArrayBuffer[Long]()
-        val sb = new java.lang.StringBuilder
-        def flush(): Unit = if (sb.length > 0) {
-          var h = 0L
-          (0 until sb.length).foreach(i => h = h * 1000003L + sb.charAt(i))
-          toks += h
-          sb.setLength(0)
-        }
-        text.foreach(c =>
-          if (Character.isWhitespace(c)) flush() else { sb.append(c); () })
-        flush()
-        if (toks.length < n) Set.empty
-        else (0 to toks.length - n).map { w =>
-          (0 until n).foldLeft(0xCBF29CE484222325L)((h, j) => mix64(h ^ toks(w + j)))
-        }.toSet
-      }
       val benchSet = dd.filter(_._1 < 25).iterator
-        .flatMap { case (_, t) => ngrams(t, 4) }.toSet
+        .flatMap { case (_, t) => ngramHashesMirror(t, 4) }.toSet
       dd.filter(_._1 >= 25)
-        .filter { case (_, t) => ngrams(t, 4).exists(benchSet) }
+        .filter { case (_, t) => ngramHashesMirror(t, 4).exists(benchSet) }
         .map { case (id, _) => K29(id) }
         .sortBy(_.doc_id).toSeq.toDS().toDF()
     })

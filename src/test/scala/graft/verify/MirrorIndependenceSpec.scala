@@ -52,6 +52,19 @@ class MirrorIndependenceSpec extends AnyFunSuite {
 
   private def all = adversarial ++ fuzz
 
+  test("ngramHashesMirror == Decontaminate.wordNgramHashes on adversarial + fuzz inputs") {
+    import graft.functions.Decontaminate
+    Seq(1, 2, 4).foreach { n =>
+      all.foreach { s =>
+        assert(AnswerKeys.ngramHashesMirror(s, n) ==
+          Decontaminate.wordNgramHashes(s, n).toSet,
+          s"n=$n input=${s.take(40)}")
+      }
+      assert(AnswerKeys.ngramHashesMirror(null, n) ==
+        Decontaminate.wordNgramHashes(null, n).toSet)
+    }
+  }
+
   test("simhashMirror == Dedup.simhashKernel on adversarial + fuzz inputs") {
     all.foreach(s => assert(AnswerKeys.simhashMirror(s) == Dedup.simhashKernel(s),
       s"simhash diverged on: ${s.take(60)}"))
