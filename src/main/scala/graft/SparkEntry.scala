@@ -173,6 +173,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q18_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signal: duplicate-word fraction
+      // per doc, pure codegen'd array HOFs (split/array_distinct/size) —
+      // no UDF, cross-engine SQL-oracled against DuckDB's list functions
+      val words = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_distinct"))
+        .withColumn("dup_frac", round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_words").cast("double"), 4))
+        .orderBy("doc_id")
+    }),
     "q17_json_extract" -> ((s, d) => {
       t(s, d, "events")
         .select(col("event_id"),
@@ -545,6 +558,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
         .orderBy("doc_id")
     }),
+    "x30_pii_redact" -> ((s, d) => {
+      // PII scrub over a deterministic corpus whose EXPECTED redaction is
+      // GENERATION-TIME truth (PII spans recorded as each line is
+      // composed — the x23 pattern): the engine's native regexp_replace
+      // chain must actually CATCH every generated email/phone/IP and must
+      // not touch anything else
+      import graft.fixtures.PiiCorpus
+      val n = Corpus.docsForSf(d)
+      import s.implicits._
+      s.range(n).as[Long].map(i => (i, PiiCorpus.lineAt(42L, i)._1))
+        .toDF("line_id", "raw")
+        .select(col("line_id"),
+          TextAnalysis.redactPii(col("raw")).as("redacted"))
+        .orderBy("line_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -676,6 +704,14 @@ object SparkEntry {
     "x28_sequence_packing" -> aux("x28_sequence_packing",
       "doc_id, grp, bin, bpe_tokens", "doc_id"),
     "x29_decontaminate" -> aux("x29_decontaminate", "doc_id", "doc_id"),
+    "x30_pii_redact" -> aux("x30_pii_redact", "line_id, redacted", "line_id"),
+    "q18_repetition" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_words,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        | round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 4) AS dup_frac
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q10_cosine_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** PII scrub (the C4/RefinedWeb-class pipeline step): emails →
+    * `[EMAIL]`, `+CC-DDD-DDDD` phone numbers → `[PHONE]`, IPv4s → `[IP]`.
+    * A pure `regexp_replace` chain — codegen'd, no UDF, one pass per
+    * pattern over the column. Emails replace FIRST so a dotted mail
+    * domain is never half-eaten by the IP pattern; phones and IPs are
+    * disjoint (dashes vs dots). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\+\\d{1,3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]")
+
   /** Whitespace token count — native expression. Empty/blank → 0. */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))

@@ -547,6 +547,7 @@ object AnswerKeys {
   final case class K27(doc_id: Long, lang: String, n_chars: Long)
   final case class K28(doc_id: Long, grp: Long, bin: Int, bpe_tokens: Long)
   final case class K29(doc_id: Long)
+  final case class K30(line_id: Long, redacted: String)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -654,6 +655,13 @@ object AnswerKeys {
     // never computed by running the repairer
     write("x23_fixspell", spark.range(0L, n).as[Long].map { i =>
       K23(i, graft.fixtures.FixspellCorpus.lineAt(42L, i)._2)
+    }.orderBy("line_id").toDF())
+
+    // x30: PII redaction vs GENERATION-TIME truth — the expected line is
+    // COMPOSED with sentinels as the raw line is generated, never by
+    // running the redactor
+    write("x30_pii_redact", spark.range(0L, n).as[Long].map { i =>
+      K30(i, graft.fixtures.PiiCorpus.lineAt(42L, i)._2)
     }.orderBy("line_id").toDF())
 
     // mirror OUTPUTS can be corpus-quadratic (x18's candidate-pair list is

@@ -353,6 +353,37 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("redactPii: emails/phones/IPs to sentinels, everything else untouched") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1, "reach alice.bob@corp.io or +49-123-4567 at 10.0.0.1 today"),
+      (2, "no pii in this line at all"),
+      (3, "bob@webmail.com starts and ends with carol.dave@example.org"),
+      (4, "version 1.2.3 is not an ip and 12-345-6789 is not a phone"),
+      (5, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "text")
+      .select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) == "reach [EMAIL] or [PHONE] at [IP] today")
+    assert(got(2) == "no pii in this line at all")
+    assert(got(3) == "[EMAIL] starts and ends with [EMAIL]")
+    assert(got(4) == "version 1.2.3 is not an ip and 12-345-6789 is not a phone")
+    assert(got(5) == null) // null propagates
+  }
+
+  test("redactPii catches every generated PII span (vs PiiCorpus generation truth)") {
+    val s = spark; import s.implicits._
+    val n = 400L
+    val got = s.range(n).as[Long]
+      .map(i => (i, graft.fixtures.PiiCorpus.lineAt(7L, i)._1))
+      .toDF("i", "raw")
+      .select(col("i"), TextAnalysis.redactPii(col("raw")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until n).foreach { i =>
+      assert(got(i) == graft.fixtures.PiiCorpus.lineAt(7L, i)._2, s"line $i")
+    }
+  }
+
   test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
     // every empty/whitespace-only text hashes to sig 0L — all four chunks
     // collide, so m such docs formed one m²/2 candidate clique at web scale
