@@ -176,14 +176,20 @@ object SparkEntry {
     "q18_repetition" -> ((s, d) => {
       // Gopher-style repetition quality signal: duplicate-word fraction
       // per doc, pure codegen'd array HOFs (split/array_distinct/size) —
-      // no UDF, cross-engine SQL-oracled against DuckDB's list functions
+      // no UDF, cross-engine SQL-oracled against DuckDB's list functions.
+      // The fraction is emitted in INTEGER basis points ((w-d)*10^4 / w,
+      // truncating long division — identical in both engines) rather than
+      // a rounded double: Spark Round (HALF_UP on the shortest decimal
+      // repr) and DuckDB round (scale-then-C-round of the binary value)
+      // can disagree on exact 5th-decimal ties, a red row with no engine
+      // bug (round-4 review).
       val words = split(col("text"), " ")
       t(s, d, "documents")
         .select(col("doc_id"),
-          size(words).as("n_words"),
-          size(array_distinct(words)).as("n_distinct"))
-        .withColumn("dup_frac", round(lit(1.0) -
-          col("n_distinct").cast("double") / col("n_words").cast("double"), 4))
+          size(words).cast("long").as("n_words"),
+          size(array_distinct(words)).cast("long").as("n_distinct"))
+        .withColumn("dup_bp",
+          expr("(n_words - n_distinct) * 10000L div n_words"))
         .orderBy("doc_id")
     }),
     "q17_json_extract" -> ((s, d) => {
@@ -707,10 +713,10 @@ object SparkEntry {
     "x30_pii_redact" -> aux("x30_pii_redact", "line_id, redacted", "line_id"),
     "q18_repetition" ->
       """SELECT doc_id,
-        | len(string_split(text, ' ')) AS n_words,
-        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        | round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |   / len(string_split(text, ' ')), 4) AS dup_frac
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | CAST((len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' '))))
+        |   * 10000 // len(string_split(text, ' ')) AS BIGINT) AS dup_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q10_cosine_knn" ->

@@ -347,11 +347,6 @@ object AnswerKeys {
     if (h == null) "" else h
   }
 
-  /** XXH64 of one 8-byte long, seed 42 — the spec of Spark's
-    * `xxhash64(longCol)` (public xxHash algorithm: one 8-byte round into
-    * the short-input accumulator, then the avalanche). Independent
-    * re-implementation for the IVF training-sample mirror; bit-equality
-    * vs the Spark expression is pinned in MirrorIndependenceSpec. */
   /** x29's word n-gram hash spec re-derived: builder-based tokenizer (the
     * kernel scans indices), foldLeft window combine (the kernel uses a
     * while loop). Bit-equivalence vs Decontaminate.wordNgramHashes pinned
@@ -375,6 +370,11 @@ object AnswerKeys {
     }.toSet
   }
 
+  /** XXH64 of one 8-byte long, seed 42 — the spec of Spark's
+    * `xxhash64(longCol)` (public xxHash algorithm: one 8-byte round into
+    * the short-input accumulator, then the avalanche). Independent
+    * re-implementation for the IVF training-sample mirror; bit-equality
+    * vs the Spark expression is pinned in MirrorIndependenceSpec. */
   def xxh64LongMirror(value: Long, seed: Long = 42L): Long = {
     val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
     val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
