@@ -579,6 +579,22 @@ object SparkEntry {
           TextAnalysis.redactPii(col("raw")).as("redacted"))
         .orderBy("line_id")
     }),
+    "x31_url_canonicalize" -> ((s, d) => {
+      // URL canonicalization ahead of exact-URL dedup: the native
+      // StaticInvoke kernel (codegen'd, no UDF closure) over a corpus of
+      // messy spellings whose CANONICAL form is GENERATION-TIME truth —
+      // UrlCorpus composes the canonical url first and derives the messy
+      // one from it (case noise, default ports, fragments, tracking
+      // params, shuffled query order)
+      import graft.fixtures.UrlCorpus
+      val n = Corpus.docsForSf(d)
+      import s.implicits._
+      s.range(n).as[Long].map(i => (i, UrlCorpus.lineAt(42L, i)._1))
+        .toDF("line_id", "raw_url")
+        .select(col("line_id"),
+          NativeFunctions.canonicalizeUrl(col("raw_url")).as("canonical"))
+        .orderBy("line_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -711,6 +727,8 @@ object SparkEntry {
       "doc_id, grp, bin, bpe_tokens", "doc_id"),
     "x29_decontaminate" -> aux("x29_decontaminate", "doc_id", "doc_id"),
     "x30_pii_redact" -> aux("x30_pii_redact", "line_id, redacted", "line_id"),
+    "x31_url_canonicalize" -> aux("x31_url_canonicalize",
+      "line_id, canonical", "line_id"),
     "q18_repetition" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -64,6 +64,12 @@ object NativeKernels {
     false
   }
 
+  /** Syntactic URL canonicalization ([[UrlCanon]] spec) — the key
+    * normalizer ahead of exact-URL dedup and url-keyed joins. */
+  def canonicalizeUrl(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(UrlCanon.canonicalKernel(s.toString))
+
   /** Whole-kernel extraction as a scalar function: html bytes + lang →
     * extracted text ("" on failure). Pure SQL pipelines can then run
     * `SELECT graft_extract(html, lang) FROM web_pages`. */
@@ -99,4 +105,5 @@ object NativeFunctions {
   def langId(c: Column): Column = invoke("langId", StringType, c)
   def hamming64(a: Column, b: Column): Column = invoke("hamming64", IntegerType, a, b)
   def hasTokens(c: Column): Column = invoke("hasTokens", BooleanType, c)
+  def canonicalizeUrl(c: Column): Column = invoke("canonicalizeUrl", StringType, c)
 }

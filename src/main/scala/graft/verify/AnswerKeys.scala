@@ -548,6 +548,7 @@ object AnswerKeys {
   final case class K28(doc_id: Long, grp: Long, bin: Int, bpe_tokens: Long)
   final case class K29(doc_id: Long)
   final case class K30(line_id: Long, redacted: String)
+  final case class K31(line_id: Long, canonical: String)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -662,6 +663,13 @@ object AnswerKeys {
     // running the redactor
     write("x30_pii_redact", spark.range(0L, n).as[Long].map { i =>
       K30(i, graft.fixtures.PiiCorpus.lineAt(42L, i)._2)
+    }.orderBy("line_id").toDF())
+
+    // x31: URL canonicalization vs GENERATION-TIME truth — the canonical
+    // url is composed FIRST and the messy spelling derived from it, never
+    // the other way around
+    write("x31_url_canonicalize", spark.range(0L, n).as[Long].map { i =>
+      K31(i, graft.fixtures.UrlCorpus.lineAt(42L, i)._2)
     }.orderBy("line_id").toDF())
 
     // mirror OUTPUTS can be corpus-quadratic (x18's candidate-pair list is

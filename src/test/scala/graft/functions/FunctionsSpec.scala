@@ -384,6 +384,35 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonicalizeUrl: case, ports, fragments, tracking params, param sort") {
+    import UrlCanon.canonicalKernel
+    assert(canonicalKernel("HTTPS://Example.COM:443/a/B?z=1&a=2#frag") ==
+      "https://example.com/a/B?a=2&z=1") // path case preserved, query sorted
+    assert(canonicalKernel("http://site.org:80") == "http://site.org/")
+    assert(canonicalKernel("http://site.org:8080/x") == "http://site.org:8080/x")
+    assert(canonicalKernel("https://h.io/p?utm_source=a&id=1&gclid=g&fbclid=f") ==
+      "https://h.io/p?id=1")
+    assert(canonicalKernel("https://h.io/p?utm_source=a") == "https://h.io/p")
+    // stable sort: equal keys keep original relative order
+    assert(canonicalKernel("https://h.io/?b=2&a=x&a=y") == "https://h.io/?a=x&a=y&b=2")
+    assert(canonicalKernel("not a url at all") == "not a url at all")
+    assert(canonicalKernel(null) == null)
+  }
+
+  test("canonicalizeUrl recovers the composed canonical (vs UrlCorpus generation truth)") {
+    val s = spark; import s.implicits._
+    val n = 400L
+    val got = s.range(n).as[Long]
+      .map(i => (i, graft.fixtures.UrlCorpus.lineAt(9L, i)._1))
+      .toDF("i", "raw")
+      .select(col("i"), NativeFunctions.canonicalizeUrl(col("raw")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until n).foreach { i =>
+      val (raw, expected) = graft.fixtures.UrlCorpus.lineAt(9L, i)
+      assert(got(i) == expected, s"line $i raw=$raw")
+    }
+  }
+
   test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
     // every empty/whitespace-only text hashes to sig 0L — all four chunks
     // collide, so m such docs formed one m²/2 candidate clique at web scale

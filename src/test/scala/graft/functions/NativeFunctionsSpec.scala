@@ -59,6 +59,10 @@ class NativeFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val explained = docs().select(NativeFunctions.simhash64(col("text")))
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(!explained.toLowerCase.contains("batchevalpython"))
+    // the round-4 url canonicalizer plans the same way
+    val urlPlan = docs().select(NativeFunctions.canonicalizeUrl(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(urlPlan.contains("static_invoke") || urlPlan.contains("staticinvoke"), urlPlan)
   }
 
   test("hasTokens: byte-scan fast path == isWhitespace semantics (incl. unicode ws)") {
