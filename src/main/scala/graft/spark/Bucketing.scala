@@ -25,6 +25,18 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME spec — Spark
+    * refuses a mismatched bucketBy/sortBy loudly (AnalysisException), so
+    * an index can never silently mix bucket layouts. */
+  def appendBucketed(
+      df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two bucketed tables on their bucket key. With equal bucket
     * counts the plan is exchange-free (asserted in BucketingSpec). */
   def bucketedJoin(

@@ -312,6 +312,36 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("incremental ingest loop: probe wave B, absorb it, wave C sees A and B") {
+    val base = "large language models are trained on deduplicated web text corpora " +
+      "because repeated documents waste compute and bias the distribution"
+    val tbl = "inc_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      // wave A indexed; wave B probed then ABSORBED; wave C must pair
+      // with near-dups from BOTH earlier waves
+      Dedup.writeMinhashIndex(docs(1 -> base.replace("waste", "burn")),
+        "doc_id", "text", tbl, buckets = 4)
+      val waveB = docs(2 -> base.replace("compute", "budget"),
+        3 -> "completely unrelated subject matter entirely elsewhere today")
+      val gotB = Dedup.probeMinhashIndex(waveB, "doc_id", "text", tbl,
+        docs(1 -> base.replace("waste", "burn")), threshold = 0.5)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(gotB == Seq((2, 1)), s"gotB=$gotB")
+      Dedup.appendToMinhashIndex(waveB, "doc_id", "text", tbl, buckets = 4)
+      val oldCorpus = docs(1 -> base.replace("waste", "burn"),
+        2 -> base.replace("compute", "budget"),
+        3 -> "completely unrelated subject matter entirely elsewhere today")
+      val gotC = Dedup.probeMinhashIndex(docs(4 -> base), "doc_id", "text",
+        tbl, oldCorpus, threshold = 0.5)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(gotC == Seq((4, 1), (4, 2)), s"gotC=$gotC")
+      // a mismatched bucket spec is refused loudly, never silently mixed
+      intercept[Exception] {
+        Dedup.appendToMinhashIndex(waveB, "doc_id", "text", tbl, buckets = 8)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("incremental probe: the index side is NEVER shuffled (bucketed scan, 100 TB contract)") {
     // the point of the persisted index: at 10^12 docs the corpus-sized
     // side of the probe join must come straight off its bucketed files —
