@@ -15,23 +15,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a managed bucketed table (bucketed AND sorted by
-    * `keyCol` so sort-merge joins skip both the exchange and the sort). */
-  def writeBucketed(
-      df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
-    df.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, keyCol)
-      .sortBy(keyCol)
-      .format("parquet")
-      .saveAsTable(table)
-
-  /** Append to an existing bucketed table with the SAME spec — Spark
+    * `keyCol` so sort-merge joins skip both the exchange and the sort).
+    * With `SaveMode.Append` the table's existing spec must MATCH — Spark
     * refuses a mismatched bucketBy/sortBy loudly (AnalysisException), so
-    * an index can never silently mix bucket layouts. */
-  def appendBucketed(
-      df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    * a table can never silently mix bucket layouts. */
+  def writeBucketed(
+      df: DataFrame, table: String, keyCol: String, buckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write
-      .mode(SaveMode.Append)
+      .mode(mode)
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")

@@ -331,8 +331,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val oldCorpus = docs(1 -> base.replace("waste", "burn"),
         2 -> base.replace("compute", "budget"),
         3 -> "completely unrelated subject matter entirely elsewhere today")
-      val gotC = Dedup.probeMinhashIndex(docs(4 -> base), "doc_id", "text",
+      val probeC = Dedup.probeMinhashIndex(docs(4 -> base), "doc_id", "text",
         tbl, oldCorpus, threshold = 0.5)
+      // the APPENDED index (multi-file buckets — Spark drops the per-
+      // bucket sort guarantee, a SortExec on the index side is fine)
+      // must still reach its join without an exchange
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = probeC.queryExecution.executedPlan
+        val joins = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+        assert(joins.exists(_.children.exists(c =>
+          c.collect { case f: FileSourceScanExec => f }.nonEmpty &&
+            c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+          s"appended index scan rides an exchange before its join:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+      val gotC = probeC
         .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
       assert(gotC == Seq((4, 1), (4, 2)), s"gotC=$gotC")
       // a mismatched bucket spec is refused loudly, never silently mixed
