@@ -29,19 +29,30 @@ object Sampling {
 
   private val M = 1000000L
 
+  /** The hashable id column: INTEGRAL ids are cast to long so every
+    * width lands on the documented audit contract (the LONG hash,
+    * AnswerKeys.xxh64LongMirror — xxhash64 hashes an int's 4 bytes
+    * differently from a long's 8); any other type (string urls, …) is
+    * hashed AS ITS OWN TYPE — casting a url to long would yield null for
+    * every row, xxhash64(null) is one constant, and the "sample" would
+    * silently keep 100% or 0% of the corpus (round-4 review). */
+  private def hashableId(df: DataFrame, idCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
+      case _ => col(idCol)
+    }
+  }
+
   /** Deterministic keep-predicate: pmod(xxhash64(id), 10^6) < rate·10^6.
-    * Spark's xxhash64 (seed 42) over the id CAST TO LONG — xxhash64 hashes
-    * an int's 4 bytes differently from a long's 8, and the documented
-    * audit contract is the LONG hash (AnswerKeys.xxh64LongMirror), so the
-    * cast keeps non-long id columns on the mirrorable rule instead of
-    * silently diverging. The rate→threshold product is IEEE double then
-    * truncated, on both sides. */
+    * Spark's xxhash64 (seed 42). The rate→threshold product is IEEE
+    * double then truncated, on both sides of the oracle. */
   private def keeps(idCol: Column, rate: Column): Column =
-    pmod(xxhash64(idCol.cast("long")), lit(M)) < (rate * lit(M)).cast("long")
+    pmod(xxhash64(idCol), lit(M)) < (rate * lit(M)).cast("long")
 
   /** Uniform deterministic sample: keeps ≈ rate of rows, stable per id. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
-    df.filter(keeps(col(idCol), lit(rate)))
+    df.filter(keeps(hashableId(df, idCol), lit(rate)))
 
   /** Stratified training mix: per-stratum keep rates with a default for
     * unlisted strata. The rates map is tiny (languages, sources) so it
@@ -54,7 +65,7 @@ object Sampling {
     val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(strataCol) === s, lit(r)).otherwise(acc)
     }
-    df.filter(keeps(col(idCol), rateCol))
+    df.filter(keeps(hashableId(df, idCol), rateCol))
   }
 
   /** Keep the top-k rows of each stratum by (orderCol DESC, id ASC) —
@@ -85,32 +96,31 @@ object Sampling {
       }
     }
     val pruned = slim.mapPartitions { it =>
-      // bucket per key, NOT one slot: fully-duplicate rows (same ord AND
-      // id) must each survive the prune when they fit in the top k, or
-      // the kept COUNT would depend on which partition the copies landed
-      // in — the layout-independence this operator promises
-      final class Heap {
-        val byKey = new java.util.TreeMap[(Double, Long), scala.collection.mutable.ArrayBuffer[Row]](worseFirst)
-        var size = 0
-        def add(key: (Double, Long), row: Row): Unit =
-          if (size < k) {
-            byKey.computeIfAbsent(key, _ => new scala.collection.mutable.ArrayBuffer[Row]) += row
-            size += 1
-          } else if (worseFirst.compare(key, byKey.firstKey) > 0) {
-            val worst = byKey.firstEntry.getValue
-            worst.remove(worst.length - 1)
-            if (worst.isEmpty) byKey.pollFirstEntry()
-            byKey.computeIfAbsent(key, _ => new scala.collection.mutable.ArrayBuffer[Row]) += row
-          }
+      // a bounded PriorityQueue per stratum: head = worst kept row.
+      // Duplicate (ord, id) keys are admitted natively, so fully-
+      // duplicate rows each survive the prune when they fit in the top k
+      // — the kept COUNT can't depend on which partition copies landed in
+      val keyed = new java.util.Comparator[(Double, Long, Row)] with java.io.Serializable {
+        def compare(a: (Double, Long, Row), b: (Double, Long, Row)): Int =
+          worseFirst.compare((a._1, a._2), (b._1, b._2))
       }
-      val heaps = new scala.collection.mutable.HashMap[String, Heap]()
+      val heaps = new scala.collection.mutable.HashMap[String, java.util.PriorityQueue[(Double, Long, Row)]]()
       it.foreach { row =>
         val stratum = if (row.isNullAt(1)) null else row.getString(1)
-        val ord = if (row.isNullAt(2)) Double.NegativeInfinity else row.getDouble(2)
-        heaps.getOrElseUpdate(stratum, new Heap)
-          .add((ord, row.getLong(0)), row)
+        // -0.0 normalizes to 0.0: the window stage compares doubles with
+        // SQL semantics (-0.0 == 0.0, tie broken by id) while
+        // Double.compare orders -0.0 strictly below — un-normalized, the
+        // two stages would rank differently and the result would be
+        // layout-dependent (round-4 review)
+        val ord =
+          if (row.isNullAt(2)) Double.NegativeInfinity
+          else { val v = row.getDouble(2); if (v == 0.0) 0.0 else v }
+        val heap = heaps.getOrElseUpdate(stratum,
+          new java.util.PriorityQueue[(Double, Long, Row)](k + 1, keyed))
+        heap.offer((ord, row.getLong(0), row))
+        if (heap.size > k) heap.poll() // pops the worst (maybe the newcomer)
       }
-      heaps.valuesIterator.flatMap(_.byKey.values.iterator.asScala.flatten)
+      heaps.valuesIterator.flatMap(_.iterator.asScala.map(_._3))
     }(org.apache.spark.sql.Encoders.row(slim.schema))
     val w = Window.partitionBy("stratum")
       .orderBy(coalesce(col("ord"), lit(Double.NegativeInfinity)).desc, col("id").asc)

@@ -82,10 +82,29 @@ object Similarity {
       arr
     })
 
+  /** Dims above this compute plane values inline instead of caching: the
+    * cache key includes the per-row vector length, so ONE ragged/corrupt
+    * giant embedding would otherwise pin an nBits×dim double array in
+    * executor memory for the process lifetime (round-4 review) — clean
+    * uniform-dim workloads sit far below this. */
+  private val MaxCachedDim = 4096
+
   /** Random-hyperplane LSH bucket id (nBits sign bits). Bit-identical to
     * the per-value derivation (the cache stores the same doubles). */
   def lshBucketKernel(vec: Seq[Float], nBits: Int, seed: Long): Int = {
     val dim = vec.length
+    if (dim > MaxCachedDim) {
+      var bucket = 0
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += vec(d) * planeValue(seed, b, d); d += 1 }
+        if (dot >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      return bucket
+    }
     val planes = planesFor(seed, nBits, dim)
     var bucket = 0
     var b = 0

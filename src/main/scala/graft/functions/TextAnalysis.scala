@@ -19,13 +19,19 @@ object TextAnalysis {
     * pattern over the column. Emails replace FIRST so a dotted mail
     * domain is never half-eaten by the IP pattern; phones and IPs are
     * disjoint (dashes vs dots). */
-  def redactPii(c: Column): Column =
+  def redactPii(c: Column): Column = {
+    // octets restricted to 0-255: a bare dotted-quad pattern also ate
+    // four-component version strings like 999.999.999.999 (round-4
+    // review) — benign text must survive; a version that IS a valid
+    // IPv4 spelling remains indistinguishable, the standard trade-off
+    val octet = "(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
     regexp_replace(
       regexp_replace(
         regexp_replace(c,
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
         "\\+\\d{1,3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
-      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]")
+      s"\\b(?:$octet\\.){3}$octet\\b", "[IP]")
+  }
 
   /** Whitespace token count — native expression. Empty/blank → 0. */
   def tokenCount(c: Column): Column =

@@ -19,6 +19,19 @@ import java.util.Locale
   */
 object UrlCanon {
 
+  /** Strip a default-port suffix only where it IS a port: the host left
+    * behind must be colon-free (after any userinfo '@') or a bracketed
+    * IPv6 literal — a colon-bearing unbracketed remainder means the
+    * ":80"/":443" tail was part of something else, and chopping it would
+    * corrupt the key (round-4 review; conservative: leave it unchanged). */
+  private def stripDefaultPort(auth: String, suffix: String): String =
+    if (!auth.endsWith(suffix)) auth
+    else {
+      val host = auth.substring(0, auth.length - suffix.length)
+      val hostPart = host.substring(host.lastIndexOf('@') + 1)
+      if (hostPart.endsWith("]") || hostPart.indexOf(':') < 0) host else auth
+    }
+
   private def isTracking(key: String): Boolean =
     key.startsWith("utm_") || key == "gclid" || key == "fbclid"
 
@@ -37,8 +50,8 @@ object UrlCanon {
     while (ai < rest.length && rest.charAt(ai) != '/' &&
       rest.charAt(ai) != '?' && rest.charAt(ai) != '#') ai += 1
     var auth = rest.substring(0, ai).toLowerCase(Locale.ROOT)
-    if (scheme == "http" && auth.endsWith(":80")) auth = auth.dropRight(3)
-    else if (scheme == "https" && auth.endsWith(":443")) auth = auth.dropRight(4)
+    if (scheme == "http") auth = stripDefaultPort(auth, ":80")
+    else if (scheme == "https") auth = stripDefaultPort(auth, ":443")
     val tail = rest.substring(ai)
     val hi = tail.indexOf('#')
     val noFrag = if (hi >= 0) tail.substring(0, hi) else tail

@@ -756,8 +756,8 @@ object AnswerKeys {
       sliced(cand.toSeq
         .map { case (nId, o) => (nId, o, jaccardMirror(byId(nId), byId(o), 5)) }
         .filter(_._3 >= 0.35) // threshold on the RAW value (as the plan does)
-        .map { case (a, b, j) => K26(a, b, round4(j)) }
-        .sortBy(k => (k.new_id, k.old_id)), "new_id", "old_id")
+        .map { case (a, b, j) => K26(a, b, round4(j)) },
+        "new_id", "old_id") // sliced's orderBy is THE sort — no driver pre-sort
     })
 
     // x27: training-mix sampling — the SAME deterministic keep rule

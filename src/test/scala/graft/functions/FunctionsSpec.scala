@@ -410,7 +410,8 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2, "no pii in this line at all"),
       (3, "bob@webmail.com starts and ends with carol.dave@example.org"),
       (4, "version 1.2.3 is not an ip and 12-345-6789 is not a phone"),
-      (5, null.asInstanceOf[String]))
+      (5, null.asInstanceOf[String]),
+      (6, "build 999.999.999.999 and 256.1.1.1 are not ips but 255.255.255.255 is"))
     val got = rows.toDF("id", "text")
       .select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
@@ -419,6 +420,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == "[EMAIL] starts and ends with [EMAIL]")
     assert(got(4) == "version 1.2.3 is not an ip and 12-345-6789 is not a phone")
     assert(got(5) == null) // null propagates
+    assert(got(6) == "build 999.999.999.999 and 256.1.1.1 are not ips but [IP] is")
   }
 
   test("redactPii catches every generated PII span (vs PiiCorpus generation truth)") {
@@ -447,6 +449,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonicalKernel("https://h.io/?b=2&a=x&a=y") == "https://h.io/?a=x&a=y&b=2")
     assert(canonicalKernel("not a url at all") == "not a url at all")
     assert(canonicalKernel(null) == null)
+    // default-port strip only where it IS a port (round-4 review):
+    // bracketed IPv6 hosts strip; a colon-bearing unbracketed remainder
+    // is left alone rather than corrupted
+    assert(canonicalKernel("https://[2001:db8::1]:443/x") == "https://[2001:db8::1]/x")
+    assert(canonicalKernel("http://user:pw@host.io:80/x") == "http://user:pw@host.io/x")
+    assert(canonicalKernel("http://weird:8:80/x") == "http://weird:8:80/x")
   }
 
   test("canonicalizeUrl recovers the composed canonical (vs UrlCorpus generation truth)") {
