@@ -595,6 +595,26 @@ object SparkEntry {
           NativeFunctions.canonicalizeUrl(col("raw_url")).as("canonical"))
         .orderBy("line_id")
     }),
+    "x32_line_dedup" -> ((s, d) => {
+      // CCNet/RefinedWeb-class line-level dedup: drop lines appearing in
+      // >= 5 distinct docs. Pass 1 counts with only (line_hash, id) on
+      // the exchange; pass 2 re-filters each doc in place against the
+      // broadcast offender set — the corpus payload never shuffles. The
+      // oracle is GENERATION-TIME truth: BoilerCorpus interleaves a
+      // shared pool (frequency-detectable by construction) with
+      // index-salted globally-unique content lines, recording the
+      // expected cleaned text as each doc is composed
+      import graft.fixtures.BoilerCorpus
+      import graft.functions.Dedup
+      val n = Corpus.docsForSf(d)
+      import s.implicits._
+      val docs = s.range(n).as[Long]
+        .map(i => (i, BoilerCorpus.docAt(42L, i)._1)).toDF("doc_id", "text")
+      Dedup.dropBoilerplateLines(docs, "doc_id", "text", minDocs = 5)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("lines_before"), col("lines_removed"))
+        .orderBy("doc_id")
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -729,6 +749,8 @@ object SparkEntry {
     "x30_pii_redact" -> aux("x30_pii_redact", "line_id, redacted", "line_id"),
     "x31_url_canonicalize" -> aux("x31_url_canonicalize",
       "line_id, canonical", "line_id"),
+    "x32_line_dedup" -> aux("x32_line_dedup",
+      "doc_id, clean_text, lines_before, lines_removed", "doc_id"),
     "q18_repetition" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

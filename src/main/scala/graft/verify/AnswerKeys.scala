@@ -549,6 +549,8 @@ object AnswerKeys {
   final case class K29(doc_id: Long)
   final case class K30(line_id: Long, redacted: String)
   final case class K31(line_id: Long, canonical: String)
+  final case class K32(doc_id: Long, clean_text: String,
+      lines_before: Int, lines_removed: Int)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -671,6 +673,15 @@ object AnswerKeys {
     write("x31_url_canonicalize", spark.range(0L, n).as[Long].map { i =>
       K31(i, graft.fixtures.UrlCorpus.lineAt(42L, i)._2)
     }.orderBy("line_id").toDF())
+
+    // x32: line-level dedup vs GENERATION-TIME truth — pool membership is
+    // KNOWN as each doc is composed (pool lines are frequency-detectable
+    // by construction, content lines index-salted globally unique), so
+    // the expected cleaned text never involves running the counter
+    write("x32_line_dedup", spark.range(0L, n).as[Long].map { i =>
+      val (_, clean, total, boiler) = graft.fixtures.BoilerCorpus.docAt(42L, i)
+      K32(i, clean, total, boiler)
+    }.orderBy("doc_id").toDF())
 
     // mirror OUTPUTS can be corpus-quadratic (x18's candidate-pair list is
     // ~11 MB at the 10x lap): ship them as a sliced RDD — ~2k rows per

@@ -471,6 +471,38 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dropBoilerplateLines: frequency threshold, order preserved, all-boiler doc empties") {
+    val s = spark; import s.implicits._
+    val boiler = "subscribe to our newsletter"
+    val rows = (1 to 6).map(i => (i, s"unique line $i-a\n$boiler\nunique line $i-b")) :+
+      (7 -> s"$boiler\n$boiler") :+ // all-boiler doc -> ""
+      (8 -> "rare shared line\nonly here") :+
+      (9 -> "rare shared line\nand here too") // 2 docs < threshold: kept
+    val got = Dedup.dropBoilerplateLines(rows.toDF("doc_id", "text"),
+      "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1) == ("unique line 1-a\nunique line 1-b", 3, 1))
+    assert(got(7) == ("", 2, 2))
+    assert(got(8) == ("rare shared line\nonly here", 2, 0))
+    assert(got(9) == ("rare shared line\nand here too", 2, 0))
+  }
+
+  test("dropBoilerplateLines: count pass exchanges hashes only; filter pass never shuffles text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val s = spark; import s.implicits._
+      val df = (1 to 40).map(i => (i, s"unique $i\nshared boilerplate line"))
+        .toDF("doc_id", "text")
+      val q = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocs = 5)
+      // pass 2 (the returned frame) is a pure projection: no exchange at all
+      assert(q.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the filter pass must not shuffle:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == 40)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
     // every empty/whitespace-only text hashes to sig 0L — all four chunks
     // collide, so m such docs formed one m²/2 candidate clique at web scale
