@@ -4,11 +4,14 @@ package graft
   * (answer-key cleanup, x24's temp staging dir). Driver-local only —
   * production tables go through Hadoop FileSystem in ExtractJob. */
 object FsUtil {
-  /** Recursive delete. Callers pass directories they created themselves
-    * (no symlinks into foreign trees). */
+  /** Recursive delete. A directory symlink is deleted as a LINK, never
+    * traversed (ADVICE r4: File.listFiles follows links, so a symlink
+    * planted inside a temp dir would have had its TARGET's files deleted). */
   def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
     f.delete()
     ()
   }

@@ -68,9 +68,25 @@ object Sampling {
     df.filter(keeps(hashableId(df, idCol), rateCol))
   }
 
+  /** An id column REQUIRED to be integral, cast to long. The sibling
+    * [[hashableId]] can hash any type; the cap/pack operators carry the
+    * id as a primitive long, where a string id would CAST TO NULL for
+    * every row and silently collapse identities to 0 (ADVICE r4) — fail
+    * loudly with a remediation instead. */
+  private def integralId(df: DataFrame, idCol: String, op: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"$op requires an integral id column; '$idCol' is $other — " +
+          "re-key non-integral ids first (e.g. withColumn(\"id\", xxhash64(col(\"url\"))))")
+    }
+  }
+
   /** Keep the top-k rows of each stratum by (orderCol DESC, id ASC) —
     * "cap each language at k docs, best first". Returns (id, stratum,
-    * ord); ids must cast to long, orderCol to double, strata are compared
+    * ord); ids must BE integral (checked — see [[integralId]]), orderCol
+    * casts to double, strata are compared
     * by their STRING form (the column is cast — an int source id or a
     * date bucket groups by its rendering). NULL ord rows rank last (ties
     * broken by id), NULL strata form their own stratum.
@@ -83,7 +99,7 @@ object Sampling {
       df: DataFrame, idCol: String, strataCol: String,
       orderCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val slim = df.select(col(idCol).cast("long").as("id"),
+    val slim = df.select(integralId(df, idCol, "capPerStratum").as("id"),
       col(strataCol).cast("string").as("stratum"),
       col(orderCol).cast("double").as("ord"))
     // heap key ordering: FIRST element = the worst kept row. null ord maps
@@ -157,10 +173,11 @@ object Sampling {
     // a null token count packs as 0 (PackDoc's primitive fields would
     // otherwise kill the job on the first null, unlike capPerStratum's
     // graceful null handling)
+    val idL = integralId(df, idCol, "packSequences")
     val slim = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
+      .select(idL.as("id"),
         coalesce(col(tokenCol).cast("long"), lit(0L)).as("tokens"),
-        pmod(xxhash64(col(idCol).cast("long")), lit(numGroups.toLong)).as("grp"))
+        pmod(xxhash64(idL), lit(numGroups.toLong)).as("grp"))
       .as[PackDoc]
     slim.groupByKey(_.grp)
       .flatMapGroups { (grp, it) =>

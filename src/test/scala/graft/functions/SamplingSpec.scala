@@ -127,4 +127,19 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(q.count() >= 0)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("cap/pack: non-integral id fails loudly, never casts to null (ADVICE r4)") {
+    val s = spark; import s.implicits._
+    val byUrl = (0 until 10).map(i => (s"https://ex.com/$i", 100L, "en"))
+      .toDF("url", "n_chars", "lang")
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.packSequences(byUrl, "url", "n_chars", capacity = 512L, numGroups = 4))
+    assert(e1.getMessage.contains("packSequences") && e1.getMessage.contains("xxhash64"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.capPerStratum(byUrl, "url", "lang", "n_chars", k = 3))
+    assert(e2.getMessage.contains("capPerStratum"))
+    // the documented remediation works: re-keyed ids pack fine
+    val rekeyed = byUrl.withColumn("id", xxhash64(col("url")))
+    assert(Sampling.packSequences(rekeyed, "id", "n_chars", 512L, 4).count() == 10L)
+  }
 }
