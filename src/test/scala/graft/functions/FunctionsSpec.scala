@@ -503,6 +503,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("dropBoilerplateLines: Bloom offender path agrees with the exact path (VERDICT r4)") {
+    val s = spark; import s.implicits._
+    // 6 boiler lines each shared by >= 5 docs, interleaved with salted
+    // unique lines — the exact path's verdict is the ground truth the
+    // Bloom path must reproduce
+    val pool = (0 until 6).map(i => s"shared boilerplate $i")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, s"unique ${i}a\n${pool(i % 6)}\nunique ${i}b\n${pool((i + 1) % 6)}")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val exact = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // maxExactOffenders = 0 forces the aggregated-Bloom branch; fpp 1e-6
+    // makes a unique-line false positive impossible at this scale, and the
+    // Bloom hash seeds are fixed, so the comparison is deterministic
+    val bloom = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocs = 5,
+      maxExactOffenders = 0L, bloomFpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(exact.values.map(_._3).sum == 120, "every pool occurrence removed")
+    assert(bloom == exact)
+  }
+
   test("simhashPairs: token-less texts never pair (round-4: degenerate sig-0 clique)") {
     // every empty/whitespace-only text hashes to sig 0L — all four chunks
     // collide, so m such docs formed one m²/2 candidate clique at web scale
