@@ -58,19 +58,34 @@ object Decontaminate {
   }
 
   /** Ids of corpus docs sharing >= 1 word n-gram with any benchmark doc.
-    * The benchmark side is explicitly broadcast — at corpus scale the
-    * semi join MUST be map-side; an accidental shuffle join would move
-    * the exploded corpus n-grams (n x the corpus bytes). */
+    *
+    * The benchmark side is broadcast — at corpus scale the semi join
+    * SHOULD be map-side; an accidental shuffle join would move the
+    * exploded corpus n-grams (n x the corpus bytes). But the broadcast
+    * is SIZE-GATED (VERDICT r4 #2): a 10^6-doc benchmark reaches
+    * ~10^8-10^9 distinct 13-gram hashes — past any sane JVM broadcast —
+    * so above `maxBroadcastHashes` (default 32M hashes ≈ 256 MB) the
+    * operator falls back to a shuffled left-semi on the (id, hash)
+    * exploded frame: the corpus text still never moves, only its hashes
+    * do, and AQE can skew-split the join. The gate costs one extra scan
+    * of the BENCHMARK side (the count); the corpus is scanned once
+    * either way. */
   def contaminatedIds(
       corpus: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      maxBroadcastHashes: Long = 32000000L): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val ngramUdf = udf((t: String) => wordNgramHashes(t, n))
     val benchHashes = benchmark
       .select(explode(ngramUdf(col(benchTextCol))).as("h")).distinct()
-    Dedup.parallelize(corpus.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), explode(ngramUdf(col("text"))).as("h"))
-      .join(broadcast(benchHashes), Seq("h"), "left_semi")
-      .select("id").distinct()
+    val exploded =
+      Dedup.parallelize(corpus.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"), explode(ngramUdf(col("text"))).as("h"))
+    val semi =
+      if (benchHashes.count() <= maxBroadcastHashes)
+        exploded.join(broadcast(benchHashes), Seq("h"), "left_semi")
+      else
+        exploded.join(benchHashes, Seq("h"), "left_semi")
+    semi.select("id").distinct()
   }
 }

@@ -77,4 +77,34 @@ class DecontaminateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(q.count() >= 0)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("contaminatedIds: oversized benchmark falls back to a shuffled semi join (VERDICT r4)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // emulate the huge-benchmark case end-to-end: the gate drops OUR
+    // broadcast hint, and the optimizer's own size stats (huge in
+    // production, forced here) keep it from re-broadcasting on its own
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val s = spark; import s.implicits._
+      val bench = Seq((0L, "the secret evaluation question about spark catalyst rules"))
+        .toDF("doc_id", "text")
+      val corpus = Seq(
+        (10L, "this page quotes the secret evaluation question about spark somewhere"),
+        (11L, "question evaluation secret the about rules catalyst spark plans"),
+        (12L, "completely unrelated content with nothing shared at all today")
+      ).toDF("doc_id", "text")
+      // maxBroadcastHashes = 0 forces the fallback: the bench side must NOT
+      // broadcast, and the verdicts must be identical to the broadcast path
+      val fallback = Decontaminate.contaminatedIds(corpus, "doc_id", "text",
+        bench, "text", n = 5, maxBroadcastHashes = 0L)
+      assert(fallback.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec => b }.isEmpty,
+        s"oversized benchmark must not broadcast:\n${fallback.queryExecution.executedPlan}")
+      assert(fallback.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
