@@ -362,6 +362,64 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("incremental index: 3 absorbed waves stay exchange-free; compaction restores single-file buckets") {
+    // a long-lived index accumulates files per bucket with every absorbed
+    // wave (VERDICT r4 #5): the probe plan must stay exchange-free on the
+    // index side as files multiply, and compactMinhashIndex must rewrite
+    // to one file per bucket without changing a single verdict
+    val base = "large language models are trained on deduplicated web text corpora " +
+      "because repeated documents waste compute and bias the distribution"
+    val tbl = "inc_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val waves = Seq(
+        docs(1 -> base.replace("waste", "burn"), 10 -> "first wave filler text one"),
+        docs(2 -> base.replace("compute", "budget"), 20 -> "second wave filler text two"),
+        docs(3 -> base.replace("models", "systems"), 30 -> "third wave filler text three"),
+        docs(4 -> base.replace("documents", "pages"), 40 -> "fourth wave filler text four"))
+      Dedup.writeMinhashIndex(waves.head, "doc_id", "text", tbl, buckets = 4)
+      waves.tail.foreach(w => // 3 absorbed waves on top of the initial write
+        Dedup.appendToMinhashIndex(w, "doc_id", "text", tbl, buckets = 4))
+      val oldCorpus = waves.reduce(_ union _)
+      def indexSideExchangeFree(q: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = q.queryExecution.executedPlan
+        val joins = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+        assert(joins.exists(_.children.exists(c =>
+          c.collect { case f: FileSourceScanExec => f }.nonEmpty &&
+            c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+          s"index scan rides an exchange before its join:\n$plan")
+        val scans = plan.collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+          s"expected a bucketed index scan:\n$plan")
+      }
+      val probe = docs(5 -> base)
+      val q1 = Dedup.probeMinhashIndex(probe, "doc_id", "text", tbl, oldCorpus, threshold = 0.5)
+      indexSideExchangeFree(q1)
+      val before = q1.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(before == Seq((5, 1), (5, 2), (5, 3), (5, 4)), s"before=$before")
+      val filesBefore = spark.table(tbl).inputFiles.length
+      val rowsBefore = spark.table(tbl).count()
+      Dedup.compactMinhashIndex(spark, tbl)
+      assert(spark.table(tbl).count() == rowsBefore, "compaction must not lose rows")
+      val filesAfter = spark.table(tbl).inputFiles.length
+      assert(filesAfter < filesBefore && filesAfter <= 4,
+        s"expected <= 4 single-file buckets, got $filesAfter (was $filesBefore)")
+      val q2 = Dedup.probeMinhashIndex(probe, "doc_id", "text", tbl, oldCorpus, threshold = 0.5)
+      indexSideExchangeFree(q2)
+      val after = q2.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(after == before, s"compaction changed verdicts: $after vs $before")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("incremental probe: the index side is NEVER shuffled (bucketed scan, 100 TB contract)") {
     // the point of the persisted index: at 10^12 docs the corpus-sized
     // side of the probe join must come straight off its bucketed files —
