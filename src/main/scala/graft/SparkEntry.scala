@@ -615,6 +615,38 @@ object SparkEntry {
           col("lines_before"), col("lines_removed"))
         .orderBy("doc_id")
     }),
+    "x34_hot_hosts" -> ((s, d) => {
+      // the salting audit made driver-visible (VERDICT r4 #6): run 0
+      // estimates hot hosts with sampleFraction = 1.0 — the sampler then
+      // keeps every row, so the estimate is an EXACT, layout-independent
+      // host census and the emitted est_fraction is oracle-checkable
+      // against generation truth; run 1 supplies a static operator list
+      // (est_fraction null by contract). Both runs' audit rows come back
+      // through readHotHosts.
+      import graft.spark.{ExtractJob, ExtractPipeline}
+      val n = math.min(Corpus.docsForSf(d), 1000L)
+      val base = new java.io.File("/dev/shm")
+      val dir = (if (base.isDirectory && base.canWrite)
+          java.nio.file.Files.createTempDirectory(base.toPath, "graft_x34_")
+        else java.nio.file.Files.createTempDirectory("graft_x34_")).toString
+      try {
+        ExtractJob.run(s, Corpus.pages(s, n), dir,
+          ExtractPipeline.PipelineConfig(sampleFraction = 1.0))
+        ExtractJob.run(s, Corpus.pages(s, n), dir, // resumes: zero pending docs
+          ExtractPipeline.PipelineConfig(staticHotHosts = Some(Set("hot.example.com"))))
+        import s.implicits._
+        // eager collect: the temp dir is deleted on exit (x24 pattern)
+        ExtractJob.readHotHosts(s, dir)
+          .select(col("run_id"), col("host"),
+            round(col("est_fraction"), 4).as("est_fraction"), col("salted"))
+          .orderBy("run_id", "host")
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null.asInstanceOf[java.lang.Double]
+            else java.lang.Double.valueOf(r.getDouble(2)),
+            r.getBoolean(3)))
+          .toDF("run_id", "host", "est_fraction", "salted")
+      } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -751,6 +783,8 @@ object SparkEntry {
       "line_id, canonical", "line_id"),
     "x32_line_dedup" -> aux("x32_line_dedup",
       "doc_id, clean_text, lines_before, lines_removed", "doc_id"),
+    "x34_hot_hosts" -> aux("x34_hot_hosts",
+      "run_id, host, est_fraction, salted", "run_id, host"),
     "q18_repetition" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -34,6 +34,16 @@ object ExtractJob {
 
   final case class RunResult(runId: Long, docs: Long, newDocs: Long)
 
+  /** One salting-audit row (public: Spark codegen instantiates it):
+    * which host the run treated as hot, at what estimated corpus share
+    * (null when the host came from a static operator-supplied list), and
+    * whether its keys were actually salted (false when saltBuckets <= 1
+    * disabled salting). Written to `hot_hosts/run_id=N` alongside the
+    * lineage rows — at 100x an operator reads THIS to see what the skew
+    * defense did (VERDICT r4 #6). */
+  final case class HotHostRow(
+      run_id: Long, host: String, est_fraction: java.lang.Double, salted: Boolean)
+
   /** Write fanout tuned to target file sizes (the Iceberg
     * `write.target-file-size-bytes` analog the north-star plan calls for):
     * without a cap, one task writing a salted hot-host bucket can emit a
@@ -62,10 +72,27 @@ object ExtractJob {
       case None => pages
     }
 
+    // hot-host estimation is lifted OUT of extract() so the run can audit
+    // it: the estimates (or the static list) become hot_hosts rows, and
+    // extract() receives the resolved set — the sampling pre-pass runs
+    // once either way
+    val salted = cfg.repartitionByHost && cfg.saltBuckets > 1
+    val hotRows: Seq[HotHostRow] =
+      if (!cfg.repartitionByHost) Seq.empty
+      else cfg.staticHotHosts match {
+        case Some(hs) => hs.toSeq.sorted.map(HotHostRow(runId, _, null, salted))
+        case None => ExtractPipeline.hotHostEstimates(spark, pending, cfg)
+          .map { case (h, f) => HotHostRow(runId, h, f, salted) }
+      }
+    val cfgResolved =
+      if (cfg.repartitionByHost)
+        cfg.copy(staticHotHosts = Some(hotRows.map(_.host).toSet))
+      else cfg
+
     // observed metrics ride the write job itself (df.observe — no second
     // scan; the reference's running per-page stats, main/segment.c:158-174)
     val obs = org.apache.spark.sql.Observation(s"extract_run_$runId")
-    val extracted = ExtractPipeline.extract(spark, pending, cfg)
+    val extracted = ExtractPipeline.extract(spark, pending, cfgResolved)
       .withColumn("partition_id", spark_partition_id())
       .observe(obs,
         count(lit(1)).as("docs"),
@@ -83,8 +110,16 @@ object ExtractJob {
     val written = spark.read.parquet(extractedPath)
     lineageAgg(written).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
 
+    // the salting audit (written even when empty, so readers see a stable
+    // schema for every committed run)
+    {
+      import spark.implicits._
+      hotRows.toDS().toDF().write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/hot_hosts/run_id=$runId")
+    }
+
     if (withDiagnostics)
-      ExtractPipeline.diagnostics(spark, pending, cfg)
+      ExtractPipeline.diagnostics(spark, pending, cfgResolved)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/diagnostics/run_id=$runId")
 
     val newDocs = observed.getOrElse("docs", 0L).asInstanceOf[Long]
@@ -184,6 +219,20 @@ object ExtractJob {
     val ids = store.committedRunIds()
     if (ids.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(ids.map(id => s"$outDir/lineage/run_id=$id"): _*)
+  }
+
+  /** Salting-audit rows of every live committed run that has them
+    * (compaction runs and pre-audit tables have none — skipped, not an
+    * error). */
+  def readHotHosts(spark: SparkSession, outDir: String): DataFrame = {
+    val store = new ParquetCheckpointStore(spark, outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = store.committedRunIds()
+      .map(id => s"$outDir/hot_hosts/run_id=$id")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
   }
 }
 

@@ -551,6 +551,8 @@ object AnswerKeys {
   final case class K31(line_id: Long, canonical: String)
   final case class K32(doc_id: Long, clean_text: String,
       lines_before: Int, lines_removed: Int)
+  final case class K34(run_id: Long, host: String,
+      est_fraction: java.lang.Double, salted: Boolean)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -682,6 +684,24 @@ object AnswerKeys {
       val (_, clean, total, boiler) = graft.fixtures.BoilerCorpus.docAt(42L, i)
       K32(i, clean, total, boiler)
     }.orderBy("doc_id").toDF())
+
+    // x34: the salting audit vs GENERATION-TIME truth — run 0's estimate
+    // samples at fraction 1.0, so it must equal the EXACT host census of
+    // the first n34 fixtures (hosts above the 5% default threshold, the
+    // same `count > total * fraction` arithmetic); run 1 is the static
+    // list (est_fraction null by contract). Bounded driver collect: the
+    // census has <= 401 distinct hosts by construction.
+    write("x34_hot_hosts", {
+      val n34 = math.min(n, 1000L)
+      val counts = truth.filter(_.doc_i < n34).groupByKey(_.host)
+        .mapGroups((h, it) => (h, it.size.toLong)).collect()
+      val total = counts.map(_._2).sum
+      val est = counts.filter { case (_, c) => c > total * 0.05 }
+        .sortBy(_._1)
+        .map { case (h, c) => K34(0L, h, round4(c.toDouble / total), salted = true) }
+      val static = Seq(K34(1L, "hot.example.com", null, salted = true))
+      (est.toSeq ++ static).toDS().toDF()
+    })
 
     // mirror OUTPUTS can be corpus-quadratic (x18's candidate-pair list is
     // ~11 MB at the 10x lap): ship them as a sliced RDD — ~2k rows per

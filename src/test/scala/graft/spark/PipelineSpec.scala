@@ -134,6 +134,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 300)
   }
 
+  test("run writes a salting audit: estimated hot hosts with fraction, static list with null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    try {
+      // run 0: estimation path at sampleFraction 1.0 (exact census) —
+      // hot.example.com carries ~30% of fixtures by construction
+      ExtractJob.run(spark, Corpus.pages(spark, 300), dir,
+        ExtractPipeline.PipelineConfig(sampleFraction = 1.0))
+      // run 1: static operator list, salting disabled
+      ExtractJob.run(spark, Corpus.pages(spark, 400), dir,
+        ExtractPipeline.PipelineConfig(saltBuckets = 1,
+          staticHotHosts = Some(Set("hot.example.com"))))
+      val rows = ExtractJob.readHotHosts(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(rows.map(x => (x._1, x._2)) == Seq((0L, "hot.example.com"), (1L, "hot.example.com")),
+        s"rows=$rows")
+      val est = rows.head._3
+      assert(est.exists(f => f > 0.2 && f < 0.4), s"estimated fraction off: $est")
+      assert(rows.head._4, "estimation run with saltBuckets > 1 must report salted=true")
+      assert(rows(1)._3.isEmpty, "static hosts carry no estimate")
+      assert(!rows(1)._4, "saltBuckets <= 1 must report salted=false")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
+  }
+
   test("hot-host salting spreads the skewed host over multiple partitions") {
     val pages = Corpus.pages(spark, 2000)
     val cfg = ExtractPipeline.PipelineConfig(numPartitions = 8, saltBuckets = 8,
