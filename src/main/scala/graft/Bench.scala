@@ -125,11 +125,23 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // TWO timed passes per query, min reported (VERDICT r4 #4): a transient
+    // load spike or GC pause on one pass no longer reads as a phantom
+    // regression of whichever query it hit — artifact-to-artifact deltas
+    // become attributable to code. Both pass totals ride the JSON so a
+    // contended recording window is visible from the artifact alone.
+    def lap(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val pass1 = lap()
+    val pass2 = lap()
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> math.min(a, b)
     }
+    val passTotals = Seq(pass1, pass2).map(_.map(_._2).sum)
     spark.stop()
 
     // 2) scaling evidence: identical job and input table, N vs 4N cores,
@@ -216,11 +228,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val pairsJson = pairs.map(p =>
       f"""{"n":${p.rateN.docsPerSec}%.1f,"x4":${p.rate4N.docsPerSec}%.1f,"eff":${p.efficiency}%.3f,"load_before":${p.loadBefore}%.2f,"effcores_n":${p.rateN.effCores}%.2f,"effcores_4n":${p.rate4N.effCores}%.2f,"credibility":${credibility(p)}%.3f}""")
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling_n_cores":$nSmall,"scaling_4n_cores":$nBig,"extract_docs_per_sec_n":${head.rateN.docsPerSec}%.1f,"extract_docs_per_sec_4n":${head.rate4N.docsPerSec}%.1f,"scaling_efficiency":${efficiency}%.3f,"scaling_efficiency_best":${effBest}%.3f,"scaling_efficiency_median":${effMedian}%.3f,"scaling_docs":$scalingDocs,"scaling_pairs":$pairsJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"suite_pass_totals":$passJson,"sf":"$sfDir","scaling_n_cores":$nSmall,"scaling_4n_cores":$nBig,"extract_docs_per_sec_n":${head.rateN.docsPerSec}%.1f,"extract_docs_per_sec_4n":${head.rate4N.docsPerSec}%.1f,"scaling_efficiency":${efficiency}%.3f,"scaling_efficiency_best":${effBest}%.3f,"scaling_efficiency_median":${effMedian}%.3f,"scaling_docs":$scalingDocs,"scaling_pairs":$pairsJson}""")
 
     // 3) append the scaling evidence to BENCH/BASELINE.md
     try {
