@@ -386,6 +386,73 @@ object AnswerKeys {
     h
   }
 
+  /** XXH64 over a byte array, seed 42 — the spec of Spark's
+    * `xxhash64(stringCol)` (XXH64 over the UTF-8 bytes). Full public
+    * xxHash-64 algorithm — 32-byte stripe accumulators, 8/4/1-byte
+    * tails, avalanche — written from the published spec, little-endian
+    * reads like the reference implementation. Independent mirror for
+    * every string-keyed hash the pipeline uses (doc ids from urls, line
+    * hashes); bit-equality vs the Spark expression is pinned in
+    * MirrorIndependenceSpec. */
+  def xxh64BytesMirror(bytes: Array[Byte], seed: Long = 42L): Long = {
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    val len = bytes.length
+    def readLong(i: Int): Long = {
+      var v = 0L; var j = 7
+      while (j >= 0) { v = (v << 8) | (bytes(i + j) & 0xFFL); j -= 1 }
+      v
+    }
+    def readInt(i: Int): Long = {
+      var v = 0L; var j = 3
+      while (j >= 0) { v = (v << 8) | (bytes(i + j) & 0xFFL); j -= 1 }
+      v
+    }
+    def round(acc: Long, x: Long): Long =
+      java.lang.Long.rotateLeft(acc + x * P2, 31) * P1
+    var off = 0
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (off + 32 <= len) {
+          v1 = round(v1, readLong(off)); v2 = round(v2, readLong(off + 8))
+          v3 = round(v3, readLong(off + 16)); v4 = round(v4, readLong(off + 24))
+          off += 32
+        }
+        var acc = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        acc = (acc ^ round(0L, v1)) * P1 + P4
+        acc = (acc ^ round(0L, v2)) * P1 + P4
+        acc = (acc ^ round(0L, v3)) * P1 + P4
+        (acc ^ round(0L, v4)) * P1 + P4
+      } else seed + P5
+    h += len
+    while (off + 8 <= len) {
+      h ^= round(0L, readLong(off))
+      h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+      off += 8
+    }
+    if (off + 4 <= len) {
+      h ^= readInt(off) * P1
+      h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      off += 4
+    }
+    while (off < len) {
+      h ^= (bytes(off) & 0xFFL) * P5
+      h = java.lang.Long.rotateLeft(h, 11) * P1
+      off += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  /** [[xxh64BytesMirror]] over a string's UTF-8 bytes — the doc-id
+    * assignment mirror (`xxhash64(url)`). */
+  def xxh64StringMirror(s: String, seed: Long = 42L): Long =
+    xxh64BytesMirror(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
   /** IVF coarse-quantizer trainer, mirrored (VERDICT r3 #3 — the x16 key
     * previously called Similarity.trainIvfCentroids itself, so a trainer
     * bug would have reproduced in the truth). Same SPEC: training set =
@@ -553,6 +620,10 @@ object AnswerKeys {
       lines_before: Int, lines_removed: Int)
   final case class K34(run_id: Long, host: String,
       est_fraction: java.lang.Double, salted: Boolean)
+  final case class K33(runs: Long, resumed_docs: Long, extracted_ok: Long,
+      ingested: Long, lines_removed: Long, exact_deduped: Long,
+      neardup_dropped: Long, decon_dropped: Long, bench_docs: Long,
+      mixed_docs: Long, packed_docs: Long, bins: Long, tokens: Long)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -1011,7 +1082,112 @@ object AnswerKeys {
         k.exact_deduped, k.final_docs)).toDS().toDF()
     })
 
+    // x33: the COMPOSED production pipeline — thirteen stage counts from
+    // the end-to-end single-node mirror
+    write("x33_production_pipeline",
+      Seq(pipelineMirror(math.min(n, 2000L))).toDS().toDF())
+
     truth.unpersist()
+  }
+
+  /** Single-node mirror of the x33 composed production pipeline. Every
+    * stage is re-derived from independent mechanisms: extraction truth is
+    * GENERATION-TIME (f.expected.text — never the kernel), line dedup
+    * counts LINE STRINGS (the engine counts xxhash64 hashes), exact dedup
+    * is a plain groupBy-min, near-dup candidates come from the mirrored
+    * minhash/band/jaccard chain, decontamination from ngramHashesMirror,
+    * doc ids and sampling from the xxh64 mirrors, the cap from a plain
+    * sort+take, packing from the FFD loop. A semantic drift in ANY
+    * distributed stage moves one of the thirteen counts. */
+  private def pipelineMirror(n33: Long): K33 = {
+    // stages 1-2: extraction truth + the second ingest source
+    val web = (0L until n33)
+      .map(i => FixtureGen.fixtureAt(42L, i))
+      .filter(_.expected.failure == "ok")
+      .map(f => (f.url, f.expected.text))
+    val boiler = (0L until n33 / 2).map(i =>
+      (s"https://syndicated.example.net/doc/$i", graft.fixtures.BoilerCorpus.docAt(42L, i)._1))
+    val ingested = web ++ boiler
+    // stage 3: line dedup by string counting (>= 5 distinct docs)
+    val lineDocs = new mutable.HashMap[String, mutable.HashSet[String]]()
+    ingested.foreach { case (url, t) =>
+      t.split("\n", -1).distinct.foreach(l =>
+        lineDocs.getOrElseUpdate(l, new mutable.HashSet[String]()) += url)
+    }
+    val offenders = lineDocs.iterator.filter(_._2.size >= 5).map(_._1).toSet
+    var linesRemoved = 0L
+    val cleaned = ingested.map { case (url, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filterNot(offenders)
+      linesRemoved += lines.length - kept.length
+      (url, kept.mkString("\n"))
+    }
+    // stage 4: exact dedup (min url per distinct text) + url-hash ids
+    val deduped = cleaned.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+    val withId = deduped.map { case (url, t) => (xxh64StringMirror(url), t) }
+    // stage 5: incremental near-dup by id parity (mirrored banding chain)
+    val committedM = withId.filter(x => java.lang.Math.floorMod(x._1, 2L) == 0L)
+    val freshM = withId.filter(x => java.lang.Math.floorMod(x._1, 2L) == 1L)
+    val byId = withId.toMap
+    val index = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
+    committedM.foreach { case (id, t) =>
+      if (t != null && t.length >= 5)
+        bandHashesMirror(minhashMirror(t, 5, 64), 16, 4).foreach(h =>
+          index.getOrElseUpdate(h, new mutable.ArrayBuffer[Long]) += id)
+    }
+    val nearDropped = freshM.filter { case (id, t) =>
+      t != null && t.length >= 5 && {
+        val cands = bandHashesMirror(minhashMirror(t, 5, 64), 16, 4)
+          .flatMap(h => index.getOrElse(h, Nil)).toSet
+        cands.exists(o => jaccardMirror(t, byId(o), 5) >= 0.35)
+      }
+    }.map(_._1).toSet
+    val survivors = committedM ++ freshM.filterNot(x => nearDropped(x._1))
+    // stage 6: decontamination against the held-out slice
+    val (benchM, trainM) = survivors.partition(x => java.lang.Math.floorMod(x._1, 17L) == 3L)
+    val benchGrams = benchM.iterator.flatMap(x => ngramHashesMirror(x._2, 4)).toSet
+    val (contamM, deconM) = trainM.partition(x =>
+      ngramHashesMirror(x._2, 4).exists(benchGrams))
+    // stage 7: stratified mix (xxh64 keep rule) + per-language cap
+    val withLang = deconM.map { case (id, t) => (id, t, langIdMirror(t), quality(t)) }
+    val mixedM = withLang.filter { case (id, _, lang, _) =>
+      val rate = if (lang == "en") 0.7 else 0.9
+      java.lang.Math.floorMod(xxh64LongMirror(id), 1000000L) < (rate * 1000000L).toLong
+    }
+    val cappedM = mixedM.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      // the engine's (ord DESC, id ASC) window order; quality is finite
+      // and non-negative, so the -0.0/null normalizations are no-ops here
+      rows.sortBy { case (id, _, _, q) => (-q, id) }.take(50)
+    }
+    // stage 8: FFD packing within xxh64 logical groups (the x28 mirror)
+    val toks = cappedM.map { case (id, t, _, _) => (id, bpeTokenCountMirror(t).toLong) }
+    val packedM = toks.groupBy { case (id, _) =>
+      java.lang.Math.floorMod(xxh64LongMirror(id), 8L)
+    }.toSeq.flatMap { case (g, ds) =>
+      val sorted = ds.sortBy { case (id, tk) => (-tk, id) }
+      val room = new mutable.ArrayBuffer[Long]()
+      sorted.map { case (id, tk) =>
+        var b = 0
+        while (b < room.length && room(b) < tk) b += 1
+        if (b == room.length) room += math.max(0L, 512L - tk)
+        else room(b) -= tk
+        (id, g, b, tk)
+      }
+    }
+    K33(
+      runs = 2L,
+      resumed_docs = n33 - n33 / 2,
+      extracted_ok = web.size.toLong,
+      ingested = web.size.toLong + n33 / 2,
+      lines_removed = linesRemoved,
+      exact_deduped = deduped.size.toLong,
+      neardup_dropped = nearDropped.size.toLong,
+      decon_dropped = contamM.size.toLong,
+      bench_docs = benchM.size.toLong,
+      mixed_docs = mixedM.size.toLong,
+      packed_docs = packedM.size.toLong,
+      bins = packedM.map(p => (p._2, p._3)).distinct.size.toLong,
+      tokens = packedM.map(_._4).sum)
   }
 
   /** Single-node mirror of the x17/x24 prep funnel: extraction kernel on
