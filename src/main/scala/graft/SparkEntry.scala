@@ -628,96 +628,9 @@ object SparkEntry {
       // single-node mirror (AnswerKeys.pipelineMirror) — a drift in ANY
       // stage's semantics, schema handoff, or resume arithmetic moves a
       // count and goes red.
-      import graft.functions.{Decontaminate, Sampling}
-      import graft.spark.ExtractJob
-      val n = math.min(Corpus.docsForSf(d), 2000L)
-      val shm = new java.io.File("/dev/shm")
-      val dir = (if (shm.isDirectory && shm.canWrite)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x33_")
-        else java.nio.file.Files.createTempDirectory("graft_x33_")).toString
-      val tbl = "x33_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      try {
-        // stage 1: committed extraction with mid-pipeline resume
-        ExtractJob.run(s, Corpus.pages(s, n / 2), dir)
-        val r2 = ExtractJob.run(s, Corpus.pages(s, n), dir)
-        val web = ExtractJob.readExtracted(s, dir)
-          .filter(col("failure") === "ok").select(col("url"), col("text"))
-        // stage 2: second ingest source (multi-source corpora are the
-        // norm; this one carries shared boilerplate for stage 3 to strip)
-        import s.implicits._
-        val boiler = s.range(n / 2).as[Long]
-          .map(i => (s"https://syndicated.example.net/doc/$i",
-            graft.fixtures.BoilerCorpus.docAt(42L, i)._1))
-          .toDF("url", "text")
-        val extractedOk = web.count()
-        // stage 3: line-level dedup, staged through a table
-        Dedup.dropBoilerplateLines(web.unionByName(boiler), "url", "text", minDocs = 5)
-          .write.mode("overwrite").parquet(s"$dir/stage_line_dedup")
-        val cleaned = s.read.parquet(s"$dir/stage_line_dedup")
-        val linesRemoved = cleaned.agg(sum("lines_removed")).first.getLong(0)
-        // stage 4: exact dedup on cleaned text; long doc ids by url hash
-        // (the documented re-key for the integral-id cap/pack carriers)
-        Dedup.exactDedup(
-            cleaned.select(col("id").as("url"), col("clean_text").as("text")),
-            "url", "text")
-          .withColumn("id", xxhash64(col("url")))
-          .write.mode("overwrite").parquet(s"$dir/stage_exact")
-        val corpus = s.read.parquet(s"$dir/stage_exact")
-        // stage 5: incremental near-dup — id-parity split, committed half
-        // indexed (bucketed), fresh half probed, near-dups dropped
-        val committed = corpus.filter(pmod(col("id"), lit(2)) === 0)
-        val fresh = corpus.filter(pmod(col("id"), lit(2)) === 1)
-        Dedup.writeMinhashIndex(committed, "id", "text", tbl,
-          shingleK = 5, bands = 16, rowsPerBand = 4, buckets = 8)
-        val nearDupIds = Dedup.probeMinhashIndex(fresh, "id", "text", tbl,
-            committed, shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.35)
-          .select(col("new_id").as("id")).distinct()
-        val nearDropped = nearDupIds.count()
-        val survivors = committed.unionByName(
-          fresh.join(nearDupIds, Seq("id"), "left_anti"))
-        // stage 6: decontamination against a held-out eval slice
-        val bench = survivors.filter(pmod(col("id"), lit(17)) === 3)
-        val train = survivors.filter(pmod(col("id"), lit(17)) =!= 3)
-        val contam = Decontaminate.contaminatedIds(
-          train, "id", "text", bench, "text", n = 4)
-        val deconDropped = contam.count()
-        train.join(contam.select(col("id")), Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$dir/stage_decon")
-        val decon = s.read.parquet(s"$dir/stage_decon")
-        // stage 7: training mix — language strata, hash sampling + cap
-        val withLang = decon
-          .withColumn("lang", NativeFunctions.langId(col("text")))
-          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val mixed = Sampling.stratifiedSample(withLang, "id", "lang",
-            Map("en" -> 0.7), defaultRate = 0.9)
-          val mixedN = mixed.count()
-          val capped = Sampling.capPerStratum(mixed, "id", "lang", "quality", k = 50)
-          // stage 8: sequence packing over BPE token counts
-          val packIn = capped.select(col("id"))
-            .join(withLang.select(col("id"), col("text")), Seq("id"))
-            .select(col("id"), TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
-          val packed = Sampling.packSequences(packIn, "id", "bpe",
-            capacity = 512L, numGroups = 8)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val packedDocs = packed.count()
-            val bins = packed.select("grp", "bin").distinct().count()
-            val tokens = packed.agg(sum("tokens")).first.getLong(0)
-            Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
-              linesRemoved, corpus.count(), nearDropped, deconDropped,
-              bench.count(), mixedN, packedDocs, bins, tokens))
-              .toDF("runs", "resumed_docs", "extracted_ok", "ingested",
-                "lines_removed", "exact_deduped", "neardup_dropped",
-                "decon_dropped", "bench_docs", "mixed_docs", "packed_docs",
-                "bins", "tokens")
-          } finally { packed.unpersist(false); () }
-        } finally { withLang.unpersist(false); () }
-      } finally {
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        graft.FsUtil.deleteRecursively(new java.io.File(dir))
-      }
+      // full composition lives in graft.spark.ProductionPipeline (shared
+      // with the X33Probe stage-timing harness)
+      graft.spark.ProductionPipeline.run(s, math.min(Corpus.docsForSf(d), 2000L))
     }),
     "x34_hot_hosts" -> ((s, d) => {
       // the salting audit made driver-visible (VERDICT r4 #6): run 0

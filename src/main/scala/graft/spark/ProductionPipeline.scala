@@ -1,0 +1,157 @@
+package graft.spark
+
+import graft.functions.{Decontaminate, Dedup, NativeFunctions, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed production pipeline behind `x33_production_pipeline`
+  * (VERDICT r4 #2): every stage reads the previous stage's COMMITTED
+  * table — the restartable 10^12-row shape — and the result is one row
+  * of thirteen stage counts, each re-derived independently by
+  * [[graft.verify.AnswerKeys]]' composed mirror.
+  *
+  * Stages: committed extraction with a checkpoint resume (x24 protocol)
+  * → second plain-text ingest source carrying shared boilerplate →
+  * line-level dedup (x32) → exact dedup + url-hash doc ids →
+  * incremental near-dup probe against a bucketed minhash index, waves
+  * split by id parity (x26) → benchmark decontamination against a
+  * held-out slice (x29) → stratified language mix + per-language
+  * quality cap (x27) → FFD sequence packing (x28).
+  *
+  * `onStage` receives (label, seconds) after each stage — the bench
+  * probe's hook; the driver query passes a no-op. */
+object ProductionPipeline {
+
+  def run(
+      s: SparkSession, n: Long,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    val shm = new java.io.File("/dev/shm")
+    val dir = (if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x33_")
+      else java.nio.file.Files.createTempDirectory("graft_x33_")).toString
+    val tbl = "x33_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    def stage[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    try {
+      // stage 1: committed extraction with mid-pipeline resume
+      val (r2, web) = stage("extract+resume") {
+        ExtractJob.run(s, Corpus.pages(s, n / 2), dir)
+        val r = ExtractJob.run(s, Corpus.pages(s, n), dir)
+        (r, ExtractJob.readExtracted(s, dir)
+          .filter(col("failure") === "ok").select(col("url"), col("text")))
+      }
+      // stage 2: second ingest source (multi-source corpora are the
+      // norm; this one carries shared boilerplate for stage 3 to strip),
+      // unioned and staged — line dedup's two passes then scan the table
+      // instead of re-running readExtracted's url-dedup exchange each
+      import s.implicits._
+      val boiler = s.range(n / 2).as[Long]
+        .map(i => (s"https://syndicated.example.net/doc/$i",
+          graft.fixtures.BoilerCorpus.docAt(42L, i)._1))
+        .toDF("url", "text")
+      val (ingested, extractedOk) = stage("ingest") {
+        web.unionByName(boiler)
+          .write.mode("overwrite").parquet(s"$dir/stage_ingested")
+        val t = s.read.parquet(s"$dir/stage_ingested")
+        (t, t.count() - n / 2) // web docs = staged rows minus the second source
+      }
+      // stage 3: line-level dedup, staged through a table
+      val (cleaned, linesRemoved) = stage("line-dedup") {
+        Dedup.dropBoilerplateLines(ingested, "url", "text", minDocs = 5)
+          .write.mode("overwrite").parquet(s"$dir/stage_line_dedup")
+        val c = s.read.parquet(s"$dir/stage_line_dedup")
+        (c, c.agg(sum("lines_removed")).first.getLong(0))
+      }
+      // stage 4: exact dedup on cleaned text; long doc ids by url hash
+      // (the documented re-key for the integral-id cap/pack carriers)
+      val corpus = stage("exact-dedup") {
+        Dedup.exactDedup(
+            cleaned.select(col("id").as("url"), col("clean_text").as("text")),
+            "url", "text")
+          .withColumn("id", xxhash64(col("url")))
+          .write.mode("overwrite").parquet(s"$dir/stage_exact")
+        s.read.parquet(s"$dir/stage_exact")
+      }
+      // stage 5: incremental near-dup — id-parity split, committed half
+      // indexed (bucketed), fresh half probed, near-dups dropped.
+      // shingleK = 7: the second source's docs draw from a small shared
+      // vocabulary, and 5-char shingles make every boiler-boiler pair a
+      // band-collision candidate (quadratic verify pressure); 7-char
+      // shingles span ~1.5 words, dropping unrelated-pair similarity
+      // while real near-dups still collide
+      val committed = corpus.filter(pmod(col("id"), lit(2)) === 0)
+      val fresh = corpus.filter(pmod(col("id"), lit(2)) === 1)
+      val (nearDropped, survivors) = stage("neardup-probe") {
+        Dedup.writeMinhashIndex(committed, "id", "text", tbl,
+          shingleK = 7, bands = 16, rowsPerBand = 4, buckets = 8)
+        // probe verdicts staged ids-only FIRST so the expensive
+        // band-join + verify sub-DAG executes exactly once (count and
+        // anti-join both read the tiny table), then the survivor corpus
+        // staged like every other boundary — downstream stages otherwise
+        // re-execute the probe through the anti-join's lineage on every
+        // action (measured 3x: decontaminate, its write, the report)
+        Dedup.probeMinhashIndex(fresh, "id", "text", tbl,
+            committed, shingleK = 7, bands = 16, rowsPerBand = 4, threshold = 0.35)
+          .select(col("new_id").as("id")).distinct()
+          .write.mode("overwrite").parquet(s"$dir/stage_neardup_ids")
+        val nearDupIds = s.read.parquet(s"$dir/stage_neardup_ids")
+        committed.unionByName(fresh.join(nearDupIds, Seq("id"), "left_anti"))
+          .write.mode("overwrite").parquet(s"$dir/stage_neardup")
+        (nearDupIds.count(), s.read.parquet(s"$dir/stage_neardup"))
+      }
+      // stage 6: decontamination against a held-out eval slice
+      val bench = survivors.filter(pmod(col("id"), lit(17)) === 3)
+      val train = survivors.filter(pmod(col("id"), lit(17)) =!= 3)
+      val (deconDropped, decon) = stage("decontaminate") {
+        Decontaminate.contaminatedIds(train, "id", "text", bench, "text", n = 4)
+          .write.mode("overwrite").parquet(s"$dir/stage_decon_ids")
+        val contam = s.read.parquet(s"$dir/stage_decon_ids")
+        train.join(contam.select(col("id")), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$dir/stage_decon")
+        (contam.count(), s.read.parquet(s"$dir/stage_decon"))
+      }
+      // stage 7: training mix — language strata, hash sampling + cap
+      val withLang = decon
+        .withColumn("lang", NativeFunctions.langId(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (mixedN, capped) = stage("mix+cap") {
+          val mixed = Sampling.stratifiedSample(withLang, "id", "lang",
+            Map("en" -> 0.7), defaultRate = 0.9)
+          (mixed.count(),
+            Sampling.capPerStratum(mixed, "id", "lang", "quality", k = 50))
+        }
+        // stage 8: sequence packing over BPE token counts
+        val packIn = capped.select(col("id"))
+          .join(withLang.select(col("id"), col("text")), Seq("id"))
+          .select(col("id"), TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+        val packed = Sampling.packSequences(packIn, "id", "bpe",
+          capacity = 512L, numGroups = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (packedDocs, bins, tokens) = stage("pack") {
+            (packed.count(), packed.select("grp", "bin").distinct().count(),
+              packed.agg(sum("tokens")).first.getLong(0))
+          }
+          stage("report") {
+            Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
+              linesRemoved, corpus.count(), nearDropped, deconDropped,
+              bench.count(), mixedN, packedDocs, bins, tokens))
+              .toDF("runs", "resumed_docs", "extracted_ok", "ingested",
+                "lines_removed", "exact_deduped", "neardup_dropped",
+                "decon_dropped", "bench_docs", "mixed_docs", "packed_docs",
+                "bins", "tokens")
+          }
+        } finally { packed.unpersist(false); () }
+      } finally { withLang.unpersist(false); () }
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.FsUtil.deleteRecursively(new java.io.File(dir))
+    }
+  }
+}

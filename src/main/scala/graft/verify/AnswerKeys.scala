@@ -1129,17 +1129,20 @@ object AnswerKeys {
     val committedM = withId.filter(x => java.lang.Math.floorMod(x._1, 2L) == 0L)
     val freshM = withId.filter(x => java.lang.Math.floorMod(x._1, 2L) == 1L)
     val byId = withId.toMap
+    // shingleK = 7, matching the engine stage (see ProductionPipeline:
+    // 5-char shingles over the second source's small shared vocabulary
+    // made every boiler-boiler pair a candidate)
     val index = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
     committedM.foreach { case (id, t) =>
-      if (t != null && t.length >= 5)
-        bandHashesMirror(minhashMirror(t, 5, 64), 16, 4).foreach(h =>
+      if (t != null && t.length >= 7)
+        bandHashesMirror(minhashMirror(t, 7, 64), 16, 4).foreach(h =>
           index.getOrElseUpdate(h, new mutable.ArrayBuffer[Long]) += id)
     }
     val nearDropped = freshM.filter { case (id, t) =>
-      t != null && t.length >= 5 && {
-        val cands = bandHashesMirror(minhashMirror(t, 5, 64), 16, 4)
+      t != null && t.length >= 7 && {
+        val cands = bandHashesMirror(minhashMirror(t, 7, 64), 16, 4)
           .flatMap(h => index.getOrElse(h, Nil)).toSet
-        cands.exists(o => jaccardMirror(t, byId(o), 5) >= 0.35)
+        cands.exists(o => jaccardMirror(t, byId(o), 7) >= 0.35)
       }
     }.map(_._1).toSet
     val survivors = committedM ++ freshM.filterNot(x => nearDropped(x._1))
