@@ -664,6 +664,42 @@ object SparkEntry {
           .toDF("run_id", "host", "est_fraction", "salted")
       } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
     }),
+    "x35_streaming_neardup" -> ((s, d) => {
+      // CONTINUOUS incremental near-dup (the streaming driver of x26's
+      // ingest loop): three AvailableNow drains over a growing document
+      // directory — wave 0 bootstraps the persisted index, each later
+      // wave probes it against the committed corpus, reports its
+      // (new, old) verdicts exactly-once, and is absorbed so the next
+      // wave sees it. Waves split deterministically by doc_id % 3, so
+      // the oracle mirror replays the same incremental schedule.
+      import graft.streaming.StreamingNearDup
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
+      val shm = new java.io.File("/dev/shm")
+      val dir = (if (shm.isDirectory && shm.canWrite)
+          java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x35_")
+        else java.nio.file.Files.createTempDirectory("graft_x35_")).toString
+      val tbl = "x35_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        (0 until 3).foreach { k =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === k)
+            .write.mode("append").parquet(s"$dir/in")
+          StreamingNearDup.run(s, s"$dir/in", s"$dir/out", s"$dir/ckpt",
+            tbl, shingleK = 5, bands = 16, rowsPerBand = 4, buckets = 8,
+            threshold = 0.35).awaitTermination()
+        }
+        import s.implicits._
+        // eager collect: the temp dir is deleted on exit (x24 pattern)
+        StreamingNearDup.readPairs(s, s"$dir/out")
+          .orderBy("new_id", "old_id")
+          .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toDF("new_id", "old_id", "jaccard")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.FsUtil.deleteRecursively(new java.io.File(dir))
+      }
+    }),
     "x13_video_frames" -> ((s, d) => {
       import graft.multimodal.{MediaGen, Multimodal}
       val n = math.min(Corpus.docsForSf(d), 2000L)
@@ -802,6 +838,8 @@ object SparkEntry {
       "doc_id, clean_text, lines_before, lines_removed", "doc_id"),
     "x34_hot_hosts" -> aux("x34_hot_hosts",
       "run_id, host, est_fraction, salted", "run_id, host"),
+    "x35_streaming_neardup" -> aux("x35_streaming_neardup",
+      "new_id, old_id, jaccard", "new_id, old_id"),
     "x33_production_pipeline" -> aux("x33_production_pipeline",
       "runs, resumed_docs, extracted_ok, ingested, lines_removed, " +
         "exact_deduped, neardup_dropped, decon_dropped, bench_docs, " +

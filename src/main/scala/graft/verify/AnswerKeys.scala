@@ -862,6 +862,39 @@ object AnswerKeys {
         "new_id", "old_id") // sliced's orderBy is THE sort — no driver pre-sort
     })
 
+    // x35: the STREAMING incremental near-dup schedule — same mirrored
+    // banding chain as x26, replayed over three waves (doc_id % 3):
+    // wave 0 only builds the index; each later wave probes everything
+    // absorbed before it, then is absorbed itself. Verdicts accumulate
+    // across waves exactly as the committed per-batch pair tables do.
+    write("x35_streaming_neardup", {
+      val dd35 = dd.filter(_._1 < 2000L)
+      val byId35 = dd35.toMap
+      val index = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
+      val pairs = new mutable.ArrayBuffer[K26]()
+      (0 until 3).foreach { k =>
+        val wave = dd35.filter(x => x._1 % 3 == k)
+        if (k > 0) {
+          val cand = new mutable.HashSet[(Long, Long)]()
+          wave.foreach { case (id, t) =>
+            if (t != null && t.length >= 5)
+              bandHashesMirror(minhashMirror(t, 5, 64), 16, 4).foreach(h =>
+                index.get(h).foreach(_.foreach(o => if (o != id) cand += ((id, o)))))
+          }
+          pairs ++= cand.toSeq
+            .map { case (nId, o) => (nId, o, jaccardMirror(byId35(nId), byId35(o), 5)) }
+            .filter(_._3 >= 0.35)
+            .map { case (a, b, j) => K26(a, b, round4(j)) }
+        }
+        wave.foreach { case (id, t) =>
+          if (t != null && t.length >= 5)
+            bandHashesMirror(minhashMirror(t, 5, 64), 16, 4).foreach(h =>
+              index.getOrElseUpdate(h, new mutable.ArrayBuffer[Long]) += id)
+        }
+      }
+      sliced(pairs.toSeq, "new_id", "old_id")
+    })
+
     // x27: training-mix sampling — the SAME deterministic keep rule
     // re-derived from xxh64LongMirror + plain double arithmetic (Spark:
     // pmod(xxhash64(id),1e6) < cast(rate*1e6 as long) — rate*1e6 is IEEE
