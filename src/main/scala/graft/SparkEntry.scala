@@ -664,6 +664,38 @@ object SparkEntry {
           .toDF("run_id", "host", "est_fraction", "salted")
       } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
     }),
+    "x36_ivf_index" -> ((s, d) => {
+      // PERSISTED IVF index (the x26 incremental shape for embeddings):
+      // the even-id half is quantized and stored as centroids + a
+      // bucketed-by-list assignments table; phase 0 probes it (nProbe
+      // list equi-join, no exchange on the index side), then the odd
+      // half is ABSORBED — assigned with the EXISTING centroids, never
+      // retrained — and phase 1 probes again, now seeing both waves.
+      // Phase 0 is collected BEFORE the absorb (the probe is lazy; a
+      // late collect would read the post-append table).
+      import graft.functions.Similarity
+      val emb = t(s, d, "embeddings")
+      val committed = emb.filter(col("vec_id") % 2 === 0)
+      val freshWave = emb.filter(col("vec_id") % 2 =!= 0)
+      val queries = emb.filter(col("vec_id") < 5)
+      val tbl = "x36_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        Similarity.writeIvfIndex(committed, tbl, nLists = 8, buckets = 4)
+        def probeRows(phase: Int) =
+          Similarity.probeIvfIndex(queries, tbl, k = 3, nProbe = 3)
+            .collect().toSeq.map(r =>
+              (phase, r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        val p0 = probeRows(0)
+        Similarity.appendToIvfIndex(freshWave, tbl, buckets = 4)
+        val p1 = probeRows(1)
+        import s.implicits._
+        (p0 ++ p1).toDF("phase", "query_id", "vec_id", "sim", "rank")
+          .orderBy("phase", "query_id", "rank")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+      }
+    }),
     "x35_streaming_neardup" -> ((s, d) => {
       // CONTINUOUS incremental near-dup (the streaming driver of x26's
       // ingest loop): three AvailableNow drains over a growing document
@@ -840,6 +872,8 @@ object SparkEntry {
       "run_id, host, est_fraction, salted", "run_id, host"),
     "x35_streaming_neardup" -> aux("x35_streaming_neardup",
       "new_id, old_id, jaccard", "new_id, old_id"),
+    "x36_ivf_index" -> aux("x36_ivf_index",
+      "phase, query_id, vec_id, sim, \"rank\"", "phase, query_id, \"rank\""),
     "x33_production_pipeline" -> aux("x33_production_pipeline",
       "runs, resumed_docs, extracted_ok, ingested, lines_removed, " +
         "exact_deduped, neardup_dropped, decon_dropped, bench_docs, " +

@@ -285,6 +285,91 @@ object Similarity {
       trainIvfCentroids(vectors, nLists, idCol, vecCol, trainSample),
       nProbe, idCol, vecCol)
 
+  /** Persist an IVF index of a committed embedding corpus — the
+    * incremental-ANN shape at 10^9+ vectors (the [[graft.functions.Dedup
+    * .writeMinhashIndex]] analog for embeddings): the quantizer is
+    * trained once, every vector is assigned to its inverted list, and
+    * the assignments are stored BUCKETED AND SORTED by list so each
+    * query batch probes nProbe lists via an equi-join with NO exchange
+    * on the corpus-sized index side. Two tables: `<table>_centroids`
+    * (nLists tiny rows — the model) and `table` (vec_id, embedding,
+    * list). The embedding rides the index row — unlike the minhash
+    * index's 16-byte rows, IVF scoring needs the vector; the list IS
+    * the vector storage (the standard IVF layout). */
+  def writeIvfIndex(
+      vectors: DataFrame, table: String,
+      nLists: Int = 16, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 10000): Unit = {
+    val spark = vectors.sparkSession
+    val centroids = trainIvfCentroids(vectors, nLists, idCol, vecCol, trainSample)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_centroids")
+    writeAssignments(vectors, table, centroids, buckets, idCol, vecCol,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Absorb a new vector wave into a [[writeIvfIndex]] index: assignment
+    * uses the EXISTING centroids (incremental semantics — the model is
+    * not retrained; re-quantize with [[writeIvfIndex]] at maintenance
+    * time if drift accumulates). A mismatched bucket spec is refused
+    * loudly by Spark. */
+  def appendToIvfIndex(
+      newVectors: DataFrame, table: String, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeAssignments(newVectors, table, readCentroids(newVectors.sparkSession, table),
+      buckets, idCol, vecCol, org.apache.spark.sql.SaveMode.Append)
+
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, table: String): Array[Array[Double]] =
+    spark.table(s"${table}_centroids").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray) // bounded: nLists rows
+
+  private def writeAssignments(
+      vectors: DataFrame, table: String, centroids: Array[Array[Double]],
+      buckets: Int, idCol: String, vecCol: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
+    graft.spark.Bucketing.writeBucketed(
+      Dedup.parallelize(vectors
+          .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+          .filter(col("embedding").isNotNull))
+        .withColumn("list", assignUdf(col("embedding"))),
+      table, "list", buckets, mode)
+  }
+
+  /** Probe a query batch against a persisted [[writeIvfIndex]] index:
+    * each query explodes into its nProbe nearest lists (broadcast
+    * centroids), the list equi-join prunes the index to those lists
+    * with no exchange on the index side, and exact cosine + a per-query
+    * window produce top-k. Self-matches excluded on id equality. */
+  def probeIvfIndex(
+      queries: DataFrame, table: String, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(readCentroids(spark, table))
+    val probeUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, nProbe))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
+      .filter(col("q_emb").isNotNull)
+    val q = qBase
+      .withColumn("list", explode(probeUdf(col("q_emb"))))
+      .select("query_id", "list")
+    val scored = spark.table(table)
+      .join(q, Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(qBase, Seq("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup flavor of ANN):
     * LSH-bucket self-join → exact cosine inside buckets → threshold.
     * Never O(n²); candidates come from an equi-join on (table, bucket).

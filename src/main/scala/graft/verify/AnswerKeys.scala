@@ -620,6 +620,7 @@ object AnswerKeys {
       lines_before: Int, lines_removed: Int)
   final case class K34(run_id: Long, host: String,
       est_fraction: java.lang.Double, salted: Boolean)
+  final case class K36(phase: Int, query_id: Long, vec_id: Long, sim: Double, rank: Int)
   final case class K33(runs: Long, resumed_docs: Long, extracted_ok: Long,
       ingested: Long, lines_removed: Long, exact_deduped: Long,
       neardup_dropped: Long, decon_dropped: Long, bench_docs: Long,
@@ -1029,6 +1030,31 @@ object AnswerKeys {
       }
       topK(cand.toSeq.map { case (q, v) => (q, v, cosine(byId(v), byId(q))) }, 3)
         .map { case (q, v, s, r) => KAnn(q, v, s, r) }.toDS().toDF()
+    })
+
+    // x36: the persisted-IVF incremental schedule — the quantizer is
+    // trained on the even half only (trainIvfCentroidsMirror: own XXH64,
+    // own Lloyd loop); the odd wave is absorbed with the SAME centroids
+    // (never retrained); each phase re-derives assignment + probing with
+    // the mirrored chain and a hash-set candidate walk, never a join
+    write("x36_ivf_index", {
+      val even = ee.filter(_._1 % 2 == 0)
+      val odd = ee.filter(_._1 % 2 != 0)
+      val cs = trainIvfCentroidsMirror(even.toSeq, nLists = 8)
+      def phaseRows(corpus: Seq[(Long, Array[Float])], phase: Int): Seq[K36] = {
+        val assign = corpus.map { case (id, v) =>
+          (id, nearestCentroidsMirror(v, cs, 1).head) }.toMap
+        val cand = new mutable.HashSet[(Long, Long)]()
+        queries.foreach { case (qId, qv) =>
+          val probes = nearestCentroidsMirror(qv, cs, 3).toSet
+          corpus.foreach { case (vId, _) =>
+            if (vId != qId && probes.contains(assign(vId))) cand += ((qId, vId))
+          }
+        }
+        topK(cand.toSeq.map { case (q, v) => (q, v, cosine(byId(v), byId(q))) }, 3)
+          .map { case (q, v, sR, r) => K36(phase, q, v, sR, r) }
+      }
+      (phaseRows(even.toSeq, 0) ++ phaseRows((even ++ odd).toSeq, 1)).toDS().toDF()
     })
 
     // x11–x13/x19: multimodal plumbing over the deterministic MediaGen

@@ -676,6 +676,63 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"recall@$k: lsh=$lsh%.3f ivf=$ivf%.3f (brute-force exact)")
   }
 
+  test("persisted IVF index: exchange-free probe, absorb with frozen centroids, parity with ivfTopK") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(20260817L)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.15f * rng.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    val tbl = "ivf_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      Similarity.writeIvfIndex(df, tbl, nLists = 8, buckets = 4)
+      val probe = Similarity.probeIvfIndex(queries, tbl, k = 5, nProbe = 3)
+      // the corpus-sized assignments scan reaches its list join without an
+      // exchange (the x26 index contract, embeddings flavor)
+      val plan = probe.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(joins.exists(_.children.exists(c =>
+        c.collect { case f: FileSourceScanExec => f }.nonEmpty &&
+          c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+        s"index scan rides an exchange before its join:\n$plan")
+      // same verdicts as the in-memory ivfTopK with the same model shape
+      val viaIndex = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inMemory = Similarity.ivfTopK(df, queries, k = 5, nLists = 8, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIndex == inMemory, s"index probe diverged from ivfTopK")
+      // absorb: a second wave is assigned with the EXISTING centroids; the
+      // probe now sees it, and the centroid table is untouched
+      val centroidsBefore = s.table(s"${tbl}_centroids").collect().toSeq.toString
+      val wave = (400 until 500).map { i =>
+        val c = centers(i % 8)
+        (i.toLong, c.map(x => x + 0.15f * rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(wave, tbl, buckets = 4)
+      assert(s.table(s"${tbl}_centroids").collect().toSeq.toString == centroidsBefore,
+        "absorb must not retrain the quantizer")
+      assert(s.table(tbl).count() == 500)
+      val after = Similarity.probeIvfIndex(queries, tbl, k = 500, nProbe = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(after.exists(_ >= 400L), "absorbed wave must be probeable")
+      // a mismatched bucket spec is refused loudly
+      intercept[Exception](Similarity.appendToIvfIndex(wave, tbl, buckets = 8))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("AnswerKeys.hostOf == hostCol (try_parse_url) across url shapes (round-4)") {
     import graft.verify.AnswerKeys
     val s = spark; import s.implicits._
