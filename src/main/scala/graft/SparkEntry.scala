@@ -439,10 +439,7 @@ object SparkEntry {
       // the corpus is not), and each stage restarts from its table.
       import graft.spark.ExtractJob
       val n = math.min(Corpus.docsForSf(d), 3000L)
-      val base = new java.io.File("/dev/shm")
-      val dir = (if (base.isDirectory && base.canWrite)
-          java.nio.file.Files.createTempDirectory(base.toPath, "graft_x24_")
-        else java.nio.file.Files.createTempDirectory("graft_x24_")).toString
+      val dir = graft.FsUtil.scratchDir("graft_x24_")
       try {
         ExtractJob.run(s, Corpus.pages(s, n / 2), dir) // run 0: first half
         val r2 = ExtractJob.run(s, Corpus.pages(s, n), dir) // run 1: resumes
@@ -469,10 +466,7 @@ object SparkEntry {
       // and go red against the generation-time taxonomy truth).
       import graft.streaming.StreamingExtract
       val n = math.min(Corpus.docsForSf(d), 2000L)
-      val shm = new java.io.File("/dev/shm")
-      val dir = (if (shm.isDirectory && shm.canWrite)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x25_")
-        else java.nio.file.Files.createTempDirectory("graft_x25_")).toString
+      val dir = graft.FsUtil.scratchDir("graft_x25_")
       try {
         val inDir = s"$dir/pages"
         Corpus.pagesRange(s, 0L, n / 2).write.mode("append").parquet(inDir)
@@ -642,10 +636,7 @@ object SparkEntry {
       // through readHotHosts.
       import graft.spark.{ExtractJob, ExtractPipeline}
       val n = math.min(Corpus.docsForSf(d), 1000L)
-      val base = new java.io.File("/dev/shm")
-      val dir = (if (base.isDirectory && base.canWrite)
-          java.nio.file.Files.createTempDirectory(base.toPath, "graft_x34_")
-        else java.nio.file.Files.createTempDirectory("graft_x34_")).toString
+      val dir = graft.FsUtil.scratchDir("graft_x34_")
       try {
         ExtractJob.run(s, Corpus.pages(s, n), dir,
           ExtractPipeline.PipelineConfig(sampleFraction = 1.0))
@@ -708,10 +699,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 2000)
-      val shm = new java.io.File("/dev/shm")
-      val dir = (if (shm.isDirectory && shm.canWrite)
-          java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x35_")
-        else java.nio.file.Files.createTempDirectory("graft_x35_")).toString
+      val dir = graft.FsUtil.scratchDir("graft_x35_")
       val tbl = "x35_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
       try {
         (0 until 3).foreach { k =>

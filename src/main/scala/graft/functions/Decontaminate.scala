@@ -67,9 +67,13 @@ object Decontaminate {
     * so above `maxBroadcastHashes` (default 32M hashes ≈ 256 MB) the
     * operator falls back to a shuffled left-semi on the (id, hash)
     * exploded frame: the corpus text still never moves, only its hashes
-    * do, and AQE can skew-split the join. The gate costs one extra scan
-    * of the BENCHMARK side (the count); the corpus is scanned once
-    * either way. */
+    * do, and AQE can skew-split the join. The gate itself is an
+    * `approx_count_distinct` over the exploded benchmark — one NARROW
+    * pass (partial HLL sketches, no shuffle), so the full distinct
+    * aggregation runs exactly once, inside the join build (round-5
+    * review: an exact count ran the distinct shuffle twice at precisely
+    * the scale the gate exists for). The ±2% HLL error only matters
+    * within 2% of the threshold, where both paths are fine. */
   def contaminatedIds(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13,
@@ -78,11 +82,14 @@ object Decontaminate {
     val ngramUdf = udf((t: String) => wordNgramHashes(t, n))
     val benchHashes = benchmark
       .select(explode(ngramUdf(col(benchTextCol))).as("h")).distinct()
+    val estHashes = benchmark
+      .select(explode(ngramUdf(col(benchTextCol))).as("h"))
+      .agg(approx_count_distinct(col("h"))).first.getLong(0)
     val exploded =
       Dedup.parallelize(corpus.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"), explode(ngramUdf(col("text"))).as("h"))
     val semi =
-      if (benchHashes.count() <= maxBroadcastHashes)
+      if (estHashes <= maxBroadcastHashes)
         exploded.join(broadcast(benchHashes), Seq("h"), "left_semi")
       else
         exploded.join(benchHashes, Seq("h"), "left_semi")

@@ -223,7 +223,11 @@ object ExtractJob {
 
   /** Salting-audit rows of every live committed run that has them
     * (compaction runs and pre-audit tables have none — skipped, not an
-    * error). */
+    * error; with NO audited run the result is an empty frame with the
+    * full HotHostRow schema, so column references still resolve —
+    * round-5 review: the schemaless emptyDataFrame broke
+    * `readHotHosts(...).select("run_id")` on exactly the pre-audit
+    * tables the doc promises to tolerate). */
   def readHotHosts(spark: SparkSession, outDir: String): DataFrame = {
     val store = new ParquetCheckpointStore(spark, outDir)
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -231,8 +235,10 @@ object ExtractJob {
     val paths = store.committedRunIds()
       .map(id => s"$outDir/hot_hosts/run_id=$id")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(paths: _*)
+    if (paths.isEmpty) {
+      import spark.implicits._
+      Seq.empty[HotHostRow].toDS().toDF()
+    } else spark.read.parquet(paths: _*)
   }
 }
 

@@ -91,7 +91,7 @@ object ExtractPipeline {
     else {
       val p = if (cfg.numPartitions > 0) cfg.numPartitions
               else spark.sessionState.conf.numShufflePartitions
-      val hot = cfg.staticHotHosts.getOrElse(hotHosts(spark, pruned, cfg, p))
+      val hot = cfg.staticHotHosts.getOrElse(hotHosts(spark, pruned, cfg))
       // saltBuckets <= 1 means "no salting" — guarded explicitly because
       // under Spark 4 ANSI mode pmod(x, 0) raises DIVIDE_BY_ZERO and a
       // CLI-supplied 0 would kill the whole job mid-write (round-4 review;
@@ -170,6 +170,6 @@ object ExtractPipeline {
       .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
   }
 
-  def hotHosts(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig, parts: Int): Set[String] =
+  def hotHosts(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig): Set[String] =
     hotHostEstimates(spark, pages, cfg).map(_._1).toSet
 }

@@ -25,10 +25,7 @@ object ProductionPipeline {
   def run(
       s: SparkSession, n: Long,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
-    val shm = new java.io.File("/dev/shm")
-    val dir = (if (shm.isDirectory && shm.canWrite)
-        java.nio.file.Files.createTempDirectory(shm.toPath, "graft_x33_")
-      else java.nio.file.Files.createTempDirectory("graft_x33_")).toString
+    val dir = graft.FsUtil.scratchDir("graft_x33_")
     val tbl = "x33_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
     def stage[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()

@@ -45,10 +45,8 @@ object StreamingExtract {
     if (cfg.staticHotHosts.isDefined || !cfg.repartitionByHost) cfg
     else {
       val batch = spark.read.schema(pageSchema).parquet(inDir)
-      val p = if (cfg.numPartitions > 0) cfg.numPartitions
-              else spark.sessionState.conf.numShufflePartitions
       cfg.copy(staticHotHosts =
-        Some(ExtractPipeline.hotHosts(spark, batch, cfg, p)))
+        Some(ExtractPipeline.hotHosts(spark, batch, cfg)))
     }
 
   /** Drain all currently-available input files through the kernel into an

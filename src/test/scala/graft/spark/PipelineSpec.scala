@@ -120,7 +120,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pages = small.union(hot) // union preserves child partition order
     val cfg = ExtractPipeline.PipelineConfig(
       sampleFraction = 1.0, maxSampleRows = 200, hotHostFraction = 0.3)
-    val found = ExtractPipeline.hotHosts(spark, pages, cfg, parts = 6)
+    val found = ExtractPipeline.hotHosts(spark, pages, cfg)
     assert(found.contains("giant.example.com"),
       s"late-partition hot host missed: $found")
     assert(!found.exists(_.startsWith("small-")), s"small host flagged hot: $found")
