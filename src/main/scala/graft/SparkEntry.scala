@@ -655,6 +655,22 @@ object SparkEntry {
           .toDF("run_id", "host", "est_fraction", "salted")
       } finally graft.FsUtil.deleteRecursively(new java.io.File(dir))
     }),
+    "x37_perplexity" -> ((s, d) => {
+      // LM perplexity scoring (the third CCNet leg, after x32 line dedup
+      // and x7 langid): a char-bigram model trained on a deterministic
+      // hash sample of the corpus — bounded model regardless of corpus
+      // size — then broadcast for a map-side bits-per-char score of
+      // every document. Production swaps the model for a KenLM-style
+      // word n-gram; the train-on-sample → truncate → broadcast →
+      // map-side-score shape is the part that scales.
+      import graft.functions.LanguageModel
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val lm = LanguageModel.trainCharBigramLm(docs, "doc_id", "text",
+        sampleRate = 0.5, maxPairs = 50000)
+      LanguageModel.scoreBitsPerChar(docs, "doc_id", "text", lm)
+        .select(col("id").as("doc_id"), col("bits_per_char"))
+        .orderBy("doc_id")
+    }),
     "x36_ivf_index" -> ((s, d) => {
       // PERSISTED IVF index (the x26 incremental shape for embeddings):
       // the even-id half is quantized and stored as centroids + a
@@ -862,6 +878,8 @@ object SparkEntry {
       "new_id, old_id, jaccard", "new_id, old_id"),
     "x36_ivf_index" -> aux("x36_ivf_index",
       "phase, query_id, vec_id, sim, \"rank\"", "phase, query_id, \"rank\""),
+    "x37_perplexity" -> aux("x37_perplexity",
+      "doc_id, bits_per_char", "doc_id"),
     "x33_production_pipeline" -> aux("x33_production_pipeline",
       "runs, resumed_docs, extracted_ok, ingested, lines_removed, " +
         "exact_deduped, neardup_dropped, decon_dropped, bench_docs, " +

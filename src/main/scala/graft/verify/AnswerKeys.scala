@@ -621,6 +621,7 @@ object AnswerKeys {
   final case class K34(run_id: Long, host: String,
       est_fraction: java.lang.Double, salted: Boolean)
   final case class K36(phase: Int, query_id: Long, vec_id: Long, sim: Double, rank: Int)
+  final case class K37(doc_id: Long, bits_per_char: Double)
   final case class K33(runs: Long, resumed_docs: Long, extracted_ok: Long,
       ingested: Long, lines_removed: Long, exact_deduped: Long,
       neardup_dropped: Long, decon_dropped: Long, bench_docs: Long,
@@ -948,6 +949,56 @@ object AnswerKeys {
         .filter { case (_, t) => ngramHashesMirror(t, 4).exists(benchSet) }
         .map { case (id, _) => K29(id) }
         .sortBy(_.doc_id).toSeq.toDS().toDF()
+    })
+
+    // x37: the char-bigram LM chain, mirrored end to end — the sample
+    // membership from xxh64LongMirror's keep rule, transition counts
+    // from an independent code-point scanner (stream API vs the engine's
+    // index loop), the same (count desc, key asc) truncation order, and
+    // the documented scoring formula with the engine's exact operation
+    // order (the IEEE sum order is part of the spec, as with
+    // lshBucketMirror)
+    write("x37_perplexity", {
+      def scan(t: String): Array[Long] = {
+        if (t == null || t.isEmpty) Array.empty
+        else {
+          val cps = t.codePoints().toArray
+          val out = new Array[Long](cps.length)
+          var prev = 0L
+          var i = 0
+          while (i < cps.length) {
+            out(i) = (prev << 32) | cps(i).toLong
+            prev = cps(i).toLong
+            i += 1
+          }
+          out
+        }
+      }
+      val sample = dd.filter { case (id, _) =>
+        java.lang.Math.floorMod(xxh64LongMirror(id), 1000000L) < (0.5 * 1000000L).toLong
+      }
+      val counts = new mutable.HashMap[Long, Long]()
+      sample.foreach { case (_, t) =>
+        scan(t).foreach(k => counts.update(k, counts.getOrElse(k, 0L) + 1L)) }
+      val kept = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(50000)
+      val pairs = kept.toMap
+      val prevTotals = kept.groupBy(_._1 >>> 32).map { case (p, ps) =>
+        (p, ps.map(_._2).sum) }
+      dd.map { case (id, t) =>
+        val keys = scan(t)
+        val bits =
+          if (keys.isEmpty) 0.0
+          else {
+            var acc = 0.0
+            keys.foreach { k =>
+              val c = pairs.getOrElse(k, 0L)
+              val total = prevTotals.getOrElse(k >>> 32, 0L)
+              acc += -(math.log((c + 1L).toDouble / (total + 65536L).toDouble) / math.log(2.0))
+            }
+            acc / keys.length
+          }
+        K37(id, round4(bits))
+      }.toSeq.toDS().toDF()
     })
 
     // x6–x9: scalar kernels / native-expression mirrors over documents

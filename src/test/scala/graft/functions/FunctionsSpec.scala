@@ -676,6 +676,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"recall@$k: lsh=$lsh%.3f ivf=$ivf%.3f (brute-force exact)")
   }
 
+  test("char-bigram LM: layout-independent model, predictable text scores lower, empty scores 0") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(7L)
+    val english = "the quick brown fox jumps over the lazy dog and runs far away today "
+    val rows = (0L until 60L).map { i =>
+      (i, english * (2 + (i % 3).toInt))
+    } :+ (60L -> "") :+ (61L -> (null: String))
+    val df = rows.toDF("doc_id", "text")
+    val lm = LanguageModel.trainCharBigramLm(df, "doc_id", "text",
+      sampleRate = 0.8, maxPairs = 10000)
+    // layout independence: the model is a pure function of the data
+    val lm2 = LanguageModel.trainCharBigramLm(df.repartition(7), "doc_id", "text",
+      sampleRate = 0.8, maxPairs = 10000)
+    assert(lm == lm2, "model must not depend on the physical layout")
+    val inDist = LanguageModel.bitsPerCharKernel(english, lm)
+    val gibberish = new String(Array.fill(70)(('!' + rng.nextInt(90)).toChar))
+    val outDist = LanguageModel.bitsPerCharKernel(gibberish, lm)
+    assert(inDist < outDist,
+      f"in-distribution text must score lower: $inDist%.2f vs $outDist%.2f")
+    assert(LanguageModel.bitsPerCharKernel("", lm) == 0.0)
+    assert(LanguageModel.bitsPerCharKernel(null, lm) == 0.0)
+    val scored = LanguageModel.scoreBitsPerChar(df, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(60L) == 0.0 && scored(61L) == 0.0)
+    assert(scored(0L) < outDist)
+  }
+
   test("persisted IVF index: exchange-free probe, absorb with frozen centroids, parity with ivfTopK") {
     val s = spark; import s.implicits._
     val rng = new scala.util.Random(20260817L)
