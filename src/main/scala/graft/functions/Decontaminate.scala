@@ -68,12 +68,14 @@ object Decontaminate {
     * operator falls back to a shuffled left-semi on the (id, hash)
     * exploded frame: the corpus text still never moves, only its hashes
     * do, and AQE can skew-split the join. The gate itself is an
-    * `approx_count_distinct` over the exploded benchmark — one NARROW
-    * pass (partial HLL sketches, no shuffle), so the full distinct
-    * aggregation runs exactly once, inside the join build (round-5
-    * review: an exact count ran the distinct shuffle twice at precisely
-    * the scale the gate exists for). The ±2% HLL error only matters
-    * within 2% of the threshold, where both paths are fine. */
+    * `approx_count_distinct` over the exploded benchmark at rsd = 0.02
+    * — one NARROW pass (partial HLL sketches, no shuffle), so the full
+    * distinct aggregation runs exactly once, inside the join build
+    * (round-5 review: an exact count ran the distinct shuffle twice at
+    * precisely the scale the gate exists for; and the DEFAULT rsd is
+    * 5%, which let a benchmark ~15% past the cap still broadcast in
+    * the 3-sigma tail). With ±2% the gate can mis-route only within a
+    * few percent of the threshold, where both paths are fine. */
   def contaminatedIds(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13,
@@ -84,7 +86,7 @@ object Decontaminate {
       .select(explode(ngramUdf(col(benchTextCol))).as("h")).distinct()
     val estHashes = benchmark
       .select(explode(ngramUdf(col(benchTextCol))).as("h"))
-      .agg(approx_count_distinct(col("h"))).first.getLong(0)
+      .agg(approx_count_distinct(col("h"), 0.02)).first.getLong(0)
     val exploded =
       Dedup.parallelize(corpus.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"), explode(ngramUdf(col("text"))).as("h"))

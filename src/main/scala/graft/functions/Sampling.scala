@@ -72,11 +72,17 @@ object Sampling {
     * [[hashableId]] can hash any type; the cap/pack operators carry the
     * id as a primitive long, where a string id would CAST TO NULL for
     * every row and silently collapse identities to 0 (ADVICE r4) — fail
-    * loudly with a remediation instead. */
+    * loudly with a remediation instead. Scale-0 decimals (the common
+    * warehouse BIGINT surrogate) are accepted — the cast is exact and
+    * an out-of-range value fails loudly under ANSI rather than nulling
+    * (round-5 review: the first guard rejected them for no reason the
+    * null-cast rationale covers). Float/double stay rejected: a
+    * fractional id would silently TRUNCATE to a colliding long. */
   private def integralId(df: DataFrame, idCol: String, op: String): Column = {
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
+      case d: DecimalType if d.scale == 0 => col(idCol).cast("long")
       case other => throw new IllegalArgumentException(
         s"$op requires an integral id column; '$idCol' is $other — " +
           "re-key non-integral ids first (e.g. withColumn(\"id\", xxhash64(col(\"url\"))))")

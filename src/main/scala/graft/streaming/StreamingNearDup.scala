@@ -27,7 +27,10 @@ import org.apache.spark.sql.types._
   *    duplicate band rows only duplicate join candidates, and the probe
   *    dropDuplicates + exact-Jaccard verify make verdicts insensitive to
   *    candidate multiplicity. [[Dedup.compactMinhashIndex]] reclaims the
-  *    space at maintenance time.
+  *    space at maintenance time — QUIESCE the drains first (stop calling
+  *    [[run]] until the compaction returns): the index swap is
+  *    single-writer, and an absorb landing mid-rewrite would be lost
+  *    with its batch already marked committed.
   */
 object StreamingNearDup {
 

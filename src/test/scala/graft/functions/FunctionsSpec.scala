@@ -414,6 +414,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(after == before, s"compaction changed verdicts: $after vs $before")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_retired")
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.enabled")

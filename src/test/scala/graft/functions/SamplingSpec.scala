@@ -141,5 +141,10 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the documented remediation works: re-keyed ids pack fine
     val rekeyed = byUrl.withColumn("id", xxhash64(col("url")))
     assert(Sampling.packSequences(rekeyed, "id", "n_chars", 512L, 4).count() == 10L)
+    // scale-0 decimals (warehouse BIGINT surrogates) cast exactly and pass
+    val dec = byUrl.withColumn("id",
+      xxhash64(col("url")).cast("decimal(20,0)"))
+    assert(Sampling.packSequences(dec, "id", "n_chars", 512L, 4).count() == 10L)
+    assert(Sampling.capPerStratum(dec, "id", "lang", "n_chars", k = 3).count() == 3L)
   }
 }
