@@ -882,8 +882,8 @@ object SparkEntry {
       "doc_id, bits_per_char", "doc_id"),
     "x33_production_pipeline" -> aux("x33_production_pipeline",
       "runs, resumed_docs, extracted_ok, ingested, lines_removed, " +
-        "exact_deduped, neardup_dropped, decon_dropped, bench_docs, " +
-        "mixed_docs, packed_docs, bins, tokens", "runs"),
+        "exact_deduped, neardup_dropped, decon_dropped, lm_dropped, " +
+        "bench_docs, mixed_docs, packed_docs, bins, tokens", "runs"),
     "q18_repetition" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** The composed production pipeline behind `x33_production_pipeline`
   * (VERDICT r4 #2): every stage reads the previous stage's COMMITTED
   * table — the restartable 10^12-row shape — and the result is one row
-  * of thirteen stage counts, each re-derived independently by
+  * of fourteen stage counts, each re-derived independently by
   * [[graft.verify.AnswerKeys]]' composed mirror.
   *
   * Stages: committed extraction with a checkpoint resume (x24 protocol)
@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * line-level dedup (x32) → exact dedup + url-hash doc ids →
   * incremental near-dup probe against a bucketed minhash index, waves
   * split by id parity (x26) → benchmark decontamination against a
-  * held-out slice (x29) → stratified language mix + per-language
+  * held-out slice (x29) → LM perplexity filter (x37's operator, 7.0
+  * bits/char ceiling) → stratified language mix + per-language
   * quality cap (x27) → FFD sequence packing (x28).
   *
   * `onStage` receives (label, seconds) after each stage — the bench
@@ -111,8 +112,23 @@ object ProductionPipeline {
           .write.mode("overwrite").parquet(s"$dir/stage_decon")
         (contam.count(), s.read.parquet(s"$dir/stage_decon"))
       }
-      // stage 7: training mix — language strata, hash sampling + cap
-      val withLang = decon
+      // stage 7: LM perplexity filter (the CCNet third leg, x37's
+      // operator composed): a char-bigram model trained on a hash sample
+      // of the decontaminated corpus, broadcast, scored map-side; docs
+      // above 7.0 bits/char — the measured high-perplexity tail of this
+      // corpus (rare-script and degenerate docs) — are dropped before
+      // the mix
+      val (lmDropped, ppKept) = stage("lm-filter") {
+        val lmModel = graft.functions.LanguageModel.trainCharBigramLm(
+          decon, "id", "text", sampleRate = 0.5, maxPairs = 50000)
+        graft.functions.LanguageModel.scoreBitsPerChar(decon, "id", "text", lmModel)
+          .filter(col("bits_per_char") > 7.0).select("id")
+          .write.mode("overwrite").parquet(s"$dir/stage_lm_ids")
+        val dropIds = s.read.parquet(s"$dir/stage_lm_ids")
+        (dropIds.count(), decon.join(dropIds, Seq("id"), "left_anti"))
+      }
+      // stage 8: training mix — language strata, hash sampling + cap
+      val withLang = ppKept
         .withColumn("lang", NativeFunctions.langId(col("text")))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -123,7 +139,7 @@ object ProductionPipeline {
           (mixed.count(),
             Sampling.capPerStratum(mixed, "id", "lang", "quality", k = 50))
         }
-        // stage 8: sequence packing over BPE token counts
+        // stage 9: sequence packing over BPE token counts
         val packIn = capped.select(col("id"))
           .join(withLang.select(col("id"), col("text")), Seq("id"))
           .select(col("id"), TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
@@ -138,11 +154,11 @@ object ProductionPipeline {
           stage("report") {
             Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
               linesRemoved, corpus.count(), nearDropped, deconDropped,
-              bench.count(), mixedN, packedDocs, bins, tokens))
+              lmDropped, bench.count(), mixedN, packedDocs, bins, tokens))
               .toDF("runs", "resumed_docs", "extracted_ok", "ingested",
                 "lines_removed", "exact_deduped", "neardup_dropped",
-                "decon_dropped", "bench_docs", "mixed_docs", "packed_docs",
-                "bins", "tokens")
+                "decon_dropped", "lm_dropped", "bench_docs", "mixed_docs",
+                "packed_docs", "bins", "tokens")
           }
         } finally { packed.unpersist(false); () }
       } finally { withLang.unpersist(false); () }

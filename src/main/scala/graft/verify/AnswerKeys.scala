@@ -624,8 +624,9 @@ object AnswerKeys {
   final case class K37(doc_id: Long, bits_per_char: Double)
   final case class K33(runs: Long, resumed_docs: Long, extracted_ok: Long,
       ingested: Long, lines_removed: Long, exact_deduped: Long,
-      neardup_dropped: Long, decon_dropped: Long, bench_docs: Long,
-      mixed_docs: Long, packed_docs: Long, bins: Long, tokens: Long)
+      neardup_dropped: Long, decon_dropped: Long, lm_dropped: Long,
+      bench_docs: Long, mixed_docs: Long, packed_docs: Long,
+      bins: Long, tokens: Long)
 
   /** Slim generation-truth projection, synthesized DISTRIBUTED — executors
     * regenerate fixtures by index, so nothing corpus-sized ever crosses
@@ -1206,9 +1207,10 @@ object AnswerKeys {
     * counts LINE STRINGS (the engine counts xxhash64 hashes), exact dedup
     * is a plain groupBy-min, near-dup candidates come from the mirrored
     * minhash/band/jaccard chain, decontamination from ngramHashesMirror,
-    * doc ids and sampling from the xxh64 mirrors, the cap from a plain
-    * sort+take, packing from the FFD loop. A semantic drift in ANY
-    * distributed stage moves one of the thirteen counts. */
+    * doc ids and sampling from the xxh64 mirrors, the LM filter from
+    * the x37 mirror chain, the cap from a plain sort+take, packing from
+    * the FFD loop. A semantic drift in ANY
+    * distributed stage moves one of the fourteen counts. */
   private def pipelineMirror(n33: Long): K33 = {
     // stages 1-2: extraction truth + the second ingest source
     val web = (0L until n33)
@@ -1261,8 +1263,54 @@ object AnswerKeys {
     val benchGrams = benchM.iterator.flatMap(x => ngramHashesMirror(x._2, 4)).toSet
     val (contamM, deconM) = trainM.partition(x =>
       ngramHashesMirror(x._2, 4).exists(benchGrams))
-    // stage 7: stratified mix (xxh64 keep rule) + per-language cap
-    val withLang = deconM.map { case (id, t) => (id, t, langIdMirror(t), quality(t)) }
+    // stage 7: LM perplexity filter — the x37 mirror chain composed:
+    // sample membership from xxh64LongMirror's keep rule, an independent
+    // code-point scanner, the same (count desc, key asc) truncation, and
+    // the documented scoring formula order; the filter compares the
+    // ROUNDED bits (the engine scores through scoreBitsPerChar's round4)
+    val ppKept = {
+      def scan(t: String): Array[Long] = {
+        if (t == null || t.isEmpty) Array.empty
+        else {
+          val cps = t.codePoints().toArray
+          val out = new Array[Long](cps.length)
+          var prev = 0L
+          var i = 0
+          while (i < cps.length) {
+            out(i) = (prev << 32) | cps(i).toLong
+            prev = cps(i).toLong
+            i += 1
+          }
+          out
+        }
+      }
+      val counts = new mutable.HashMap[Long, Long]()
+      deconM.filter { case (id, _) =>
+        java.lang.Math.floorMod(xxh64LongMirror(id), 1000000L) < (0.5 * 1000000L).toLong
+      }.foreach { case (_, t) =>
+        scan(t).foreach(k => counts.update(k, counts.getOrElse(k, 0L) + 1L)) }
+      val kept = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(50000)
+      val pairsLm = kept.toMap
+      val prevTotals = kept.groupBy(_._1 >>> 32).map { case (p, ps) =>
+        (p, ps.map(_._2).sum) }
+      deconM.filter { case (_, t) =>
+        val keys = scan(t)
+        val bits =
+          if (keys.isEmpty) 0.0
+          else {
+            var acc = 0.0
+            keys.foreach { k =>
+              val c = pairsLm.getOrElse(k, 0L)
+              val total = prevTotals.getOrElse(k >>> 32, 0L)
+              acc += -(math.log((c + 1L).toDouble / (total + 65536L).toDouble) / math.log(2.0))
+            }
+            acc / keys.length
+          }
+        round4(bits) <= 7.0
+      }
+    }
+    // stage 8: stratified mix (xxh64 keep rule) + per-language cap
+    val withLang = ppKept.map { case (id, t) => (id, t, langIdMirror(t), quality(t)) }
     val mixedM = withLang.filter { case (id, _, lang, _) =>
       val rate = if (lang == "en") 0.7 else 0.9
       java.lang.Math.floorMod(xxh64LongMirror(id), 1000000L) < (rate * 1000000L).toLong
@@ -1272,7 +1320,7 @@ object AnswerKeys {
       // and non-negative, so the -0.0/null normalizations are no-ops here
       rows.sortBy { case (id, _, _, q) => (-q, id) }.take(50)
     }
-    // stage 8: FFD packing within xxh64 logical groups (the x28 mirror)
+    // stage 9: FFD packing within xxh64 logical groups (the x28 mirror)
     val toks = cappedM.map { case (id, t, _, _) => (id, bpeTokenCountMirror(t).toLong) }
     val packedM = toks.groupBy { case (id, _) =>
       java.lang.Math.floorMod(xxh64LongMirror(id), 8L)
@@ -1296,6 +1344,7 @@ object AnswerKeys {
       exact_deduped = deduped.size.toLong,
       neardup_dropped = nearDropped.size.toLong,
       decon_dropped = contamM.size.toLong,
+      lm_dropped = (deconM.size - ppKept.size).toLong,
       bench_docs = benchM.size.toLong,
       mixed_docs = mixedM.size.toLong,
       packed_docs = packedM.size.toLong,
