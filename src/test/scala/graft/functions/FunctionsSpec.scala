@@ -704,6 +704,23 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored(0L) < outDist)
   }
 
+  test("LM scoring is map-side: zero exchanges, corpus scanned once (100 TB contract)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val s = spark; import s.implicits._
+      val df = (0L until 40L).map(i => (i, s"some text number $i here"))
+        .toDF("doc_id", "text")
+      val lm = LanguageModel.trainCharBigramLm(df, "doc_id", "text",
+        sampleRate = 1.0, maxPairs = 1000)
+      val q = LanguageModel.scoreBitsPerChar(df, "doc_id", "text", lm)
+      assert(q.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        s"scoring must not shuffle:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == 40)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("persisted IVF index: exchange-free probe, absorb with frozen centroids, parity with ivfTopK") {
     val s = spark; import s.implicits._
     val rng = new scala.util.Random(20260817L)
