@@ -26,8 +26,11 @@ object Decontaminate {
     * texts — a doc with fewer than n tokens has no n-gram to leak). */
   def wordNgramHashes(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.empty
-    // tokenize: index scan over maximal non-whitespace runs
-    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long]()
+    // tokenize: index scan over maximal non-whitespace runs, hashes into
+    // a primitive growable array (a boxed ArrayBuffer[Long] allocated one
+    // object per token — round-6 optimization, output unchanged)
+    var tokHashes = new Array[Long](16)
+    var nTok = 0
     var i = 0
     val len = text.length
     while (i < len) {
@@ -38,23 +41,33 @@ object Decontaminate {
         h = h * 1000003L + text.charAt(i)
         i += 1
       }
-      if (i > start) tokHashes += h
+      if (i > start) {
+        if (nTok == tokHashes.length)
+          tokHashes = java.util.Arrays.copyOf(tokHashes, nTok * 2)
+        tokHashes(nTok) = h; nTok += 1
+      }
     }
-    if (tokHashes.length < n) return Array.empty
-    val set = new java.util.TreeSet[java.lang.Long]()
+    if (nTok < n) return Array.empty
+    // window hashes → sort + in-place dedup: same sorted-distinct output
+    // as the old TreeSet, no boxing (round-6 optimization)
+    val nWin = nTok - n + 1
+    val buf = new Array[Long](nWin)
     var w = 0
-    while (w + n <= tokHashes.length) {
+    while (w < nWin) {
       var h = 0xCBF29CE484222325L
       var j = 0
       while (j < n) { h = TextAnalysis.fmix64(h ^ tokHashes(w + j)); j += 1 }
-      set.add(h)
+      buf(w) = h
       w += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    java.util.Arrays.sort(buf)
+    var keep = 0
+    var r = 1
+    while (r < nWin) {
+      if (buf(r) != buf(keep)) { keep += 1; buf(keep) = buf(r) }
+      r += 1
+    }
+    if (keep + 1 == nWin) buf else java.util.Arrays.copyOf(buf, keep + 1)
   }
 
   /** Ids of corpus docs sharing >= 1 word n-gram with any benchmark doc.
@@ -82,10 +95,18 @@ object Decontaminate {
       maxBroadcastHashes: Long = 32000000L): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val ngramUdf = udf((t: String) => wordNgramHashes(t, n))
-    val benchHashes = benchmark
-      .select(explode(ngramUdf(col(benchTextCol))).as("h")).distinct()
-    val estHashes = benchmark
+    // ONE exploded benchmark frame feeds both the size gate and the join
+    // build (round-5 advice: the unshared frames ran the n-gram UDF over
+    // the benchmark twice). The persist is bounded by the benchmark's
+    // exploded n-grams (8-byte rows) and is materialized HERE by the gate
+    // action — note this call therefore triggers a Spark job; it stays
+    // cached for the caller's execution of the returned (lazy) frame and
+    // is evicted LRU like any bounded cache when the session needs room.
+    val benchNgrams = benchmark
       .select(explode(ngramUdf(col(benchTextCol))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchHashes = benchNgrams.distinct()
+    val estHashes = benchNgrams
       .agg(approx_count_distinct(col("h"), 0.02)).first.getLong(0)
     val exploded =
       Dedup.parallelize(corpus.select(col(idCol).as("id"), col(textCol).as("text")))

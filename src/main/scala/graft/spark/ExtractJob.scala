@@ -269,28 +269,48 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
     fs.exists(new org.apache.hadoop.fs.Path(p))
   private def exists: Boolean = exists(path)
 
-  private def retiredRunIds(): Set[Long] =
-    if (!exists(retiredPath)) Set.empty
-    else spark.read.parquet(retiredPath).select("run_id").collect().map(_.getLong(0)).toSet
+  // per-INSTANCE read cache of the (tiny) checkpoint/retired tables
+  // (round-6 optimization): one ExtractJob.run consulted the store 4-5
+  // times and each consult was its own Spark job over the same few-row
+  // parquet — pure scheduler overhead. Instances are per-operation and
+  // the store is SINGLE-WRITER by contract, so staleness is bounded to
+  // this operation's own view; every mutation through this instance
+  // invalidates, and commit() always re-reads FRESH for its
+  // concurrent-writer recheck.
+  private var rowsCache: Option[Array[(Long, String)]] = None
+  private var retiredCache: Option[Set[Long]] = None
 
-  private def allRunIds(): Seq[Long] =
-    if (!exists) Seq.empty
-    else spark.read.parquet(path).select("run_id").collect().map(_.getLong(0)).toSeq.sorted
+  private def checkpointRows(): Array[(Long, String)] = rowsCache.getOrElse {
+    val rows =
+      if (!exists) Array.empty[(Long, String)]
+      else spark.read.parquet(path).select("run_id", "source_fingerprint")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    rowsCache = Some(rows)
+    rows
+  }
+
+  private def retiredRunIds(): Set[Long] = retiredCache.getOrElse {
+    val ids =
+      if (!exists(retiredPath)) Set.empty[Long]
+      else spark.read.parquet(retiredPath).select("run_id").collect().map(_.getLong(0)).toSet
+    retiredCache = Some(ids)
+    ids
+  }
+
+  private def allRunIds(): Seq[Long] = checkpointRows().map(_._1).toSeq.sorted
 
   override def committedRunIds(): Seq[Long] = {
-    if (!exists) return Seq.empty
     // a committed compaction atomically supersedes its source runs via its
     // fingerprint — the `_retired` table is only follow-up bookkeeping, so
     // a crash between commit and retire never double-counts
-    val rows = spark.read.parquet(path)
-      .select("run_id", "source_fingerprint").collect()
+    val rows = checkpointRows()
     val supersededByFingerprint = rows.iterator
-      .filter(_.getString(1).startsWith("compaction:"))
-      .flatMap(_.getString(1).stripPrefix("compaction:").split('+'))
+      .filter(_._2.startsWith("compaction:"))
+      .flatMap(_._2.stripPrefix("compaction:").split('+'))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .toSet
     val retired = retiredRunIds() ++ supersededByFingerprint
-    rows.map(_.getLong(0)).toSeq.sorted.filterNot(retired)
+    rows.map(_._1).toSeq.sorted.filterNot(retired)
   }
 
   // next id must clear RETIRED runs too — their directories still exist
@@ -300,8 +320,10 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
 
   override def retire(runIds: Seq[Long]): Unit = {
     import spark.implicits._
-    if (runIds.nonEmpty)
+    if (runIds.nonEmpty) {
       runIds.toDF("run_id").write.mode(SaveMode.Append).parquet(retiredPath)
+      retiredCache = None
+    }
   }
 
   override def committedUrls(): Option[DataFrame] = {
@@ -317,7 +339,9 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
     // a lock service); this recheck turns the worst outcome of two racing
     // drivers — both allocating the same run_id via nextRunId() and silently
     // overwriting each other's extracted/lineage directories — into a loud
-    // failure at commit time (ADVICE r2)
+    // failure at commit time (ADVICE r2). The recheck reads FRESH, never
+    // the instance cache — that is the whole point of the recheck.
+    rowsCache = None
     if (allRunIds().contains(runId))
       throw new IllegalStateException(
         s"run_id=$runId is already committed under $outDir — concurrent writer? " +
@@ -325,5 +349,6 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
     Seq((runId, docCount, sourceFingerprint, java.time.Instant.now.toString))
       .toDF("run_id", "doc_count", "source_fingerprint", "committed_at")
       .write.mode(SaveMode.Append).parquet(path)
+    rowsCache = None // this instance reads its own commit back fresh
   }
 }

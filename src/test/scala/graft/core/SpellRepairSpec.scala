@@ -136,9 +136,14 @@ class SpellRepairSpec extends AnyFunSuite {
     // unbounded Perl search is ~3^30 nodes; the budget must cut it off and
     // return the word unchanged (the no-fix-found answer) in bounded time
     val alefs = "א" * 30
-    val t0 = System.nanoTime()
+    // thread CPU time, not wall clock: the parallel suite run contends for
+    // cores and stretched the wall measurement past any fixed bound while
+    // the bounded search did exactly the same WORK (round-6 flake)
+    val cpu = java.lang.management.ManagementFactory.getThreadMXBean
+    val t0 = cpu.getCurrentThreadCpuTime
     assert(r.fixWord(alefs) == alefs)
-    assert((System.nanoTime() - t0) / 1e9 < 10.0, "budget did not bound the search")
+    assert((cpu.getCurrentThreadCpuTime - t0) / 1e9 < 10.0,
+      "budget did not bound the search")
     // parts beyond maxPartLength skip the search entirely (StackOverflow guard)
     val deep = "א" * 500
     assert(r.fixWord(deep) == deep)
