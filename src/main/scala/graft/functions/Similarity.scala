@@ -335,10 +335,15 @@ object Similarity {
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, 1).head)
     graft.spark.Bucketing.writeBucketed(
+      // repartition into the bucket hash before the write (round-6, same
+      // rationale as Dedup.writeIndex): one sorted file per bucket per
+      // wave instead of one per (task, bucket) — the probe's list join
+      // then reads few large sorted files
       Dedup.parallelize(vectors
           .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
           .filter(col("embedding").isNotNull))
-        .withColumn("list", assignUdf(col("embedding"))),
+        .withColumn("list", assignUdf(col("embedding")))
+        .repartition(buckets, col("list")),
       table, "list", buckets, mode)
   }
 

@@ -51,28 +51,39 @@ object ProductionPipeline {
         .map(i => (s"https://syndicated.example.net/doc/$i",
           graft.fixtures.BoilerCorpus.docAt(42L, i)._1))
         .toDF("url", "text")
+      // stage counts ride the stage WRITES via df.observe (round-6, guide
+      // §1.5/§2.4 do-less-work: each count was its own re-read job over
+      // the freshly committed table — pure scheduler overhead; the
+      // observed count of written rows is the same number)
       val (ingested, extractedOk) = stage("ingest") {
-        web.unionByName(boiler)
+        val obs = org.apache.spark.sql.Observation("x33_ingest")
+        web.unionByName(boiler).observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$dir/stage_ingested")
         val t = s.read.parquet(s"$dir/stage_ingested")
-        (t, t.count() - n / 2) // web docs = staged rows minus the second source
+        // web docs = staged rows minus the second source
+        (t, obs.get("n").asInstanceOf[Long] - n / 2)
       }
       // stage 3: line-level dedup, staged through a table
       val (cleaned, linesRemoved) = stage("line-dedup") {
+        val obs = org.apache.spark.sql.Observation("x33_linededup")
         Dedup.dropBoilerplateLines(ingested, "url", "text", minDocs = 5)
+          .observe(obs, coalesce(sum("lines_removed"), lit(0L)).as("removed"))
           .write.mode("overwrite").parquet(s"$dir/stage_line_dedup")
-        val c = s.read.parquet(s"$dir/stage_line_dedup")
-        (c, c.agg(sum("lines_removed")).first.getLong(0))
+        (s.read.parquet(s"$dir/stage_line_dedup"),
+          obs.get("removed").asInstanceOf[Long])
       }
       // stage 4: exact dedup on cleaned text; long doc ids by url hash
       // (the documented re-key for the integral-id cap/pack carriers)
-      val corpus = stage("exact-dedup") {
+      val (corpus, corpusCount) = stage("exact-dedup") {
+        val obs = org.apache.spark.sql.Observation("x33_exact")
         Dedup.exactDedup(
             cleaned.select(col("id").as("url"), col("clean_text").as("text")),
             "url", "text")
           .withColumn("id", xxhash64(col("url")))
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$dir/stage_exact")
-        s.read.parquet(s"$dir/stage_exact")
+        (s.read.parquet(s"$dir/stage_exact"),
+          obs.get("n").asInstanceOf[Long])
       }
       // stage 5: incremental near-dup — id-parity split, committed half
       // indexed (bucketed), fresh half probed, near-dups dropped.
@@ -92,25 +103,29 @@ object ProductionPipeline {
         // staged like every other boundary — downstream stages otherwise
         // re-execute the probe through the anti-join's lineage on every
         // action (measured 3x: decontaminate, its write, the report)
+        val obs = org.apache.spark.sql.Observation("x33_neardup")
         Dedup.probeMinhashIndex(fresh, "id", "text", tbl,
             committed, shingleK = 7, bands = 16, rowsPerBand = 4, threshold = 0.35)
           .select(col("new_id").as("id")).distinct()
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$dir/stage_neardup_ids")
         val nearDupIds = s.read.parquet(s"$dir/stage_neardup_ids")
         committed.unionByName(fresh.join(nearDupIds, Seq("id"), "left_anti"))
           .write.mode("overwrite").parquet(s"$dir/stage_neardup")
-        (nearDupIds.count(), s.read.parquet(s"$dir/stage_neardup"))
+        (obs.get("n").asInstanceOf[Long], s.read.parquet(s"$dir/stage_neardup"))
       }
       // stage 6: decontamination against a held-out eval slice
       val bench = survivors.filter(pmod(col("id"), lit(17)) === 3)
       val train = survivors.filter(pmod(col("id"), lit(17)) =!= 3)
       val (deconDropped, decon) = stage("decontaminate") {
+        val obs = org.apache.spark.sql.Observation("x33_decon")
         Decontaminate.contaminatedIds(train, "id", "text", bench, "text", n = 4)
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$dir/stage_decon_ids")
         val contam = s.read.parquet(s"$dir/stage_decon_ids")
         train.join(contam.select(col("id")), Seq("id"), "left_anti")
           .write.mode("overwrite").parquet(s"$dir/stage_decon")
-        (contam.count(), s.read.parquet(s"$dir/stage_decon"))
+        (obs.get("n").asInstanceOf[Long], s.read.parquet(s"$dir/stage_decon"))
       }
       // stage 7: LM perplexity filter (the CCNet third leg, x37's
       // operator composed): a char-bigram model trained on a hash sample
@@ -121,11 +136,13 @@ object ProductionPipeline {
       val (lmDropped, ppKept) = stage("lm-filter") {
         val lmModel = graft.functions.LanguageModel.trainCharBigramLm(
           decon, "id", "text", sampleRate = 0.5, maxPairs = 50000)
+        val obs = org.apache.spark.sql.Observation("x33_lm")
         graft.functions.LanguageModel.scoreBitsPerChar(decon, "id", "text", lmModel)
           .filter(col("bits_per_char") > 7.0).select("id")
+          .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$dir/stage_lm_ids")
         val dropIds = s.read.parquet(s"$dir/stage_lm_ids")
-        (dropIds.count(), decon.join(dropIds, Seq("id"), "left_anti"))
+        (obs.get("n").asInstanceOf[Long], decon.join(dropIds, Seq("id"), "left_anti"))
       }
       // stage 8: training mix — language strata, hash sampling + cap
       val withLang = ppKept
@@ -139,28 +156,29 @@ object ProductionPipeline {
           (mixed.count(),
             Sampling.capPerStratum(mixed, "id", "lang", "quality", k = 50))
         }
-        // stage 9: sequence packing over BPE token counts
+        // stage 9: sequence packing over BPE token counts. ONE conditional
+        // aggregation replaces the old three actions (count, distinct
+        // count, sum) + persist — same three numbers, one pass (round-6)
         val packIn = capped.select(col("id"))
           .join(withLang.select(col("id"), col("text")), Seq("id"))
           .select(col("id"), TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
         val packed = Sampling.packSequences(packIn, "id", "bpe",
           capacity = 512L, numGroups = 8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val (packedDocs, bins, tokens) = stage("pack") {
-            (packed.count(), packed.select("grp", "bin").distinct().count(),
-              packed.agg(sum("tokens")).first.getLong(0))
-          }
-          stage("report") {
-            Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
-              linesRemoved, corpus.count(), nearDropped, deconDropped,
-              lmDropped, bench.count(), mixedN, packedDocs, bins, tokens))
-              .toDF("runs", "resumed_docs", "extracted_ok", "ingested",
-                "lines_removed", "exact_deduped", "neardup_dropped",
-                "decon_dropped", "lm_dropped", "bench_docs", "mixed_docs",
-                "packed_docs", "bins", "tokens")
-          }
-        } finally { packed.unpersist(false); () }
+        val (packedDocs, bins, tokens) = stage("pack") {
+          val r = packed.agg(count(lit(1)).as("docs"),
+            countDistinct(col("grp"), col("bin")).as("bins"),
+            sum("tokens").as("tokens")).first
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        stage("report") {
+          Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
+            linesRemoved, corpusCount, nearDropped, deconDropped,
+            lmDropped, bench.count(), mixedN, packedDocs, bins, tokens))
+            .toDF("runs", "resumed_docs", "extracted_ok", "ingested",
+              "lines_removed", "exact_deduped", "neardup_dropped",
+              "decon_dropped", "lm_dropped", "bench_docs", "mixed_docs",
+              "packed_docs", "bins", "tokens")
+        }
       } finally { withLang.unpersist(false); () }
     } finally {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
