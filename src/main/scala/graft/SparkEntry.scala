@@ -56,6 +56,11 @@ object SparkEntry {
         .as("final_docs")).collect()(0)
   }
 
+  /** Aggregation/ordering consumers of the kernel skip the host-salt
+    * exchange (see the x1 block comment). */
+  private val noHostShuffle =
+    ExtractPipeline.PipelineConfig(repartitionByHost = false)
+
   /** Flagship: full extraction pipeline over the synthetic web corpus. */
   def entry(spark: SparkSession): DataFrame =
     ExtractPipeline.extract(spark, Corpus.pages(spark, 500)).toDF()
@@ -223,26 +228,33 @@ object SparkEntry {
     }),
 
     // --- extraction pipeline (north rule; golden-gated, rows-checked here) --
+    // x1-x4/x17/x21 consume the kernel output through aggregations,
+    // orderings or content-keyed windows that never use host locality, so
+    // they skip the host-salt repartition (guide round-6 optimization,
+    // "remove shuffles outright"): that exchange exists for host-bucketed
+    // committed SINKS, which ExtractJob.run (x24/x33/x34, the production
+    // write path) still exercises with the full salting pipeline. Results
+    // are identical - the kernel is per-row and every output is ordered.
     "x1_extract" -> ((s, d) => {
-      ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d))).toDF()
+      ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d)), noHostShuffle).toDF()
         .select("url", "failure", "n_blocks", "n_chars", "n_bytes_in")
         .orderBy("url")
     }),
     "x2_extract_text" -> ((s, d) => {
-      ExtractPipeline.extract(s, Corpus.pages(s, math.min(Corpus.docsForSf(d), 2000L))).toDF()
+      ExtractPipeline.extract(s, Corpus.pages(s, math.min(Corpus.docsForSf(d), 2000L)), noHostShuffle).toDF()
         .filter(col("failure") === "ok")
         .select("url", "text")
         .orderBy("url")
     }),
     "x3_spans" -> ((s, d) => {
-      ExtractPipeline.extract(s, Corpus.pages(s, math.min(Corpus.docsForSf(d), 2000L))).toDF()
+      ExtractPipeline.extract(s, Corpus.pages(s, math.min(Corpus.docsForSf(d), 2000L)), noHostShuffle).toDF()
         .select(col("url"), explode(col("spans")).as("span"))
         .select(col("url"), col("span.begin").as("begin"),
           col("span.end").as("end"), col("span.kind").as("kind"))
         .orderBy("url", "begin")
     }),
     "x4_taxonomy" -> ((s, d) => {
-      ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d))).toDF()
+      ExtractPipeline.extract(s, Corpus.pages(s, Corpus.docsForSf(d)), noHostShuffle).toDF()
         .groupBy("failure").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("failure")
     }),
@@ -310,7 +322,7 @@ object SparkEntry {
       // tables instead of a persist (ExtractJob.run is that path); the
       // in-memory persist here is the bench-scale equivalent.
       val n = math.min(Corpus.docsForSf(d), 3000L)
-      val extracted = ExtractPipeline.extract(s, Corpus.pages(s, n)).toDF()
+      val extracted = ExtractPipeline.extract(s, Corpus.pages(s, n), noHostShuffle).toDF()
         .filter(col("failure") === "ok")
         .select(col("url"), col("text"))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
@@ -372,7 +384,7 @@ object SparkEntry {
       // doc counts, ok counts, output chars per url host — the aggregation
       // the per-partition lineage rows feed at scale
       val n = Corpus.docsForSf(d)
-      ExtractPipeline.extract(s, Corpus.pages(s, n)).toDF()
+      ExtractPipeline.extract(s, Corpus.pages(s, n), noHostShuffle).toDF()
         .withColumn("host", ExtractPipeline.hostCol(col("url")))
         .groupBy("host")
         .agg(count(lit(1)).as("docs"),
@@ -448,7 +460,10 @@ object SparkEntry {
           .select("url", "text")
           .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         // stage 2: the dedup-flags table is materialized; stage 3 reads it
-        funnelFlags(extracted).write.mode("overwrite").parquet(s"$dir/funnel_flags")
+        // (rebalanced on write — guide §6: target-sized staged files, not
+        // one tiny file per shuffle partition)
+        funnelFlags(extracted).hint("rebalance")
+          .write.mode("overwrite").parquet(s"$dir/funnel_flags")
         val r = funnelCounts(s.read.parquet(s"$dir/funnel_flags"))
         import s.implicits._
         Seq((r2.runId + 1, r2.newDocs, r.getLong(0), r.getLong(1),

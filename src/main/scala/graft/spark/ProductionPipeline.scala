@@ -58,7 +58,7 @@ object ProductionPipeline {
       val (ingested, extractedOk) = stage("ingest") {
         val obs = org.apache.spark.sql.Observation("x33_ingest")
         web.unionByName(boiler).observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$dir/stage_ingested")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_ingested")
         val t = s.read.parquet(s"$dir/stage_ingested")
         // web docs = staged rows minus the second source
         (t, obs.get("n").asInstanceOf[Long] - n / 2)
@@ -68,7 +68,7 @@ object ProductionPipeline {
         val obs = org.apache.spark.sql.Observation("x33_linededup")
         Dedup.dropBoilerplateLines(ingested, "url", "text", minDocs = 5)
           .observe(obs, coalesce(sum("lines_removed"), lit(0L)).as("removed"))
-          .write.mode("overwrite").parquet(s"$dir/stage_line_dedup")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_line_dedup")
         (s.read.parquet(s"$dir/stage_line_dedup"),
           obs.get("removed").asInstanceOf[Long])
       }
@@ -81,7 +81,7 @@ object ProductionPipeline {
             "url", "text")
           .withColumn("id", xxhash64(col("url")))
           .observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$dir/stage_exact")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_exact")
         (s.read.parquet(s"$dir/stage_exact"),
           obs.get("n").asInstanceOf[Long])
       }
@@ -108,10 +108,10 @@ object ProductionPipeline {
             committed, shingleK = 7, bands = 16, rowsPerBand = 4, threshold = 0.35)
           .select(col("new_id").as("id")).distinct()
           .observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$dir/stage_neardup_ids")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_neardup_ids")
         val nearDupIds = s.read.parquet(s"$dir/stage_neardup_ids")
         committed.unionByName(fresh.join(nearDupIds, Seq("id"), "left_anti"))
-          .write.mode("overwrite").parquet(s"$dir/stage_neardup")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_neardup")
         (obs.get("n").asInstanceOf[Long], s.read.parquet(s"$dir/stage_neardup"))
       }
       // stage 6: decontamination against a held-out eval slice
@@ -121,10 +121,10 @@ object ProductionPipeline {
         val obs = org.apache.spark.sql.Observation("x33_decon")
         Decontaminate.contaminatedIds(train, "id", "text", bench, "text", n = 4)
           .observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$dir/stage_decon_ids")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_decon_ids")
         val contam = s.read.parquet(s"$dir/stage_decon_ids")
         train.join(contam.select(col("id")), Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$dir/stage_decon")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_decon")
         (obs.get("n").asInstanceOf[Long], s.read.parquet(s"$dir/stage_decon"))
       }
       // stage 7: LM perplexity filter (the CCNet third leg, x37's
@@ -140,7 +140,7 @@ object ProductionPipeline {
         graft.functions.LanguageModel.scoreBitsPerChar(decon, "id", "text", lmModel)
           .filter(col("bits_per_char") > 7.0).select("id")
           .observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$dir/stage_lm_ids")
+          .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_lm_ids")
         val dropIds = s.read.parquet(s"$dir/stage_lm_ids")
         (obs.get("n").asInstanceOf[Long], decon.join(dropIds, Seq("id"), "left_anti"))
       }
