@@ -346,9 +346,13 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
       throw new IllegalStateException(
         s"run_id=$runId is already committed under $outDir — concurrent writer? " +
           "ParquetCheckpointStore assumes a single driver per outDir")
+    val fresh = checkpointRows() // the recheck's fresh read, kept
     Seq((runId, docCount, sourceFingerprint, java.time.Instant.now.toString))
       .toDF("run_id", "doc_count", "source_fingerprint", "committed_at")
       .write.mode(SaveMode.Append).parquet(path)
-    rowsCache = None // this instance reads its own commit back fresh
+    // fold our own commit into the cache: a long-lived instance (the
+    // streaming drains hold one per run()) sees its own commits without
+    // re-reading; the NEXT commit's recheck still reads fresh above
+    rowsCache = Some(fresh :+ (runId, sourceFingerprint))
   }
 }

@@ -56,11 +56,17 @@ object StreamingNearDup {
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       buckets: Int = 32, threshold: Double = 0.6): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).parquet(inDir)
+    // ONE store instance per drain (foreachBatch runs on the driver):
+    // commit() folds each batch's own commit into the instance cache, so
+    // later batches' isCommitted/committedRunIds checks don't re-read the
+    // checkpoint table they just extended (round-6; the recheck inside
+    // commit still reads fresh)
+    val store = new ParquetCheckpointStore(spark, outDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val store = new ParquetCheckpointStore(spark, outDir)
+
         if (!store.isCommitted(batchId)) { // replay of a committed batch: skip whole
           val df = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {

@@ -1193,7 +1193,7 @@ object AnswerKeys {
         k.exact_deduped, k.final_docs)).toDS().toDF()
     })
 
-    // x33: the COMPOSED production pipeline — thirteen stage counts from
+    // x33: the COMPOSED production pipeline — fourteen stage counts from
     // the end-to-end single-node mirror
     write("x33_production_pipeline",
       Seq(pipelineMirror(math.min(n, 2000L))).toDS().toDF())
