@@ -421,6 +421,31 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compactMinhashIndex: crash inside the swap window auto-recovers from _retired") {
+    // simulate the documented crash point: after `table` was renamed
+    // aside but before the rewrite was renamed in — the next compaction
+    // must rename `_retired` back and complete, verdicts unchanged
+    val tbl = "inc_idx_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      val old = docs(2 -> "alpha beta gamma delta shared tail", 4 -> "wholly different filler words here")
+      val fresh = docs(1 -> "alpha beta gamma delta shared tail")
+      Dedup.writeMinhashIndex(old, "doc_id", "text", tbl, buckets = 4)
+      val before = Dedup.probeMinhashIndex(fresh, "doc_id", "text", tbl, old, threshold = 0.5)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(before == Seq((1, 2)), s"before=$before")
+      spark.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}_retired") // the crash window
+      Dedup.compactMinhashIndex(spark, tbl)
+      val after = Dedup.probeMinhashIndex(fresh, "doc_id", "text", tbl, old, threshold = 0.5)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(after == before, s"recovery changed verdicts: $after vs $before")
+      assert(spark.table(tbl).inputFiles.length <= 4, "recovered index not compacted")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_retired")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("incremental probe: the index side is NEVER shuffled (bucketed scan, 100 TB contract)") {
     // the point of the persisted index: at 10^12 docs the corpus-sized
     // side of the probe join must come straight off its bucketed files —
