@@ -308,6 +308,8 @@ object Similarity {
       .toDF("list", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_centroids")
+    centroidCache.put(table, centroids) // re-quantize replaces the cached model
+    ()
     writeAssignments(vectors, table, centroids, buckets, idCol, vecCol,
       org.apache.spark.sql.SaveMode.Overwrite)
   }
@@ -323,10 +325,26 @@ object Similarity {
     writeAssignments(newVectors, table, readCentroids(newVectors.sparkSession, table),
       buckets, idCol, vecCol, org.apache.spark.sql.SaveMode.Append)
 
+  // driver-side model cache (round-6): the centroids table is the IVF
+  // MODEL — ≤ nLists tiny rows — and every probe/absorb re-collected it
+  // through its own Spark job. Cache per table name; writeIvfIndex
+  // replaces the entry on re-quantize, matching the single-writer
+  // contract the index already documents (an external writer mutating
+  // the centroids table mid-session is outside it, exactly as for
+  // ParquetCheckpointStore). Bounded: cleared if ever past 64 models.
+  @transient private lazy val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   private def readCentroids(
-      spark: org.apache.spark.sql.SparkSession, table: String): Array[Array[Double]] =
-    spark.table(s"${table}_centroids").orderBy("list")
+      spark: org.apache.spark.sql.SparkSession, table: String): Array[Array[Double]] = {
+    val cached = centroidCache.get(table)
+    if (cached != null) return cached
+    val cs = spark.table(s"${table}_centroids").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray) // bounded: nLists rows
+    if (centroidCache.size >= 64) centroidCache.clear()
+    centroidCache.put(table, cs)
+    cs
+  }
 
   private def writeAssignments(
       vectors: DataFrame, table: String, centroids: Array[Array[Double]],
