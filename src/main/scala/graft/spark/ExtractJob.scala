@@ -111,12 +111,12 @@ object ExtractJob {
     lineageAgg(written).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run_id=$runId")
 
     // the salting audit (written even when empty, so readers see a stable
-    // schema for every committed run)
-    {
-      import spark.implicits._
-      hotRows.toDS().toDF().write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/hot_hosts/run_id=$runId")
-    }
+    // schema for every committed run) — driver-side parquet: the rows are
+    // already a driver-local Seq, and a LocalTableScan write job costs a
+    // scheduler round-trip per run for O(1/hotHostFraction) rows (round-6,
+    // see MetaParquet)
+    MetaParquet.writeHotHosts(s"$outDir/hot_hosts/run_id=$runId",
+      spark.sparkContext.hadoopConfiguration, hotRows)
 
     if (withDiagnostics)
       ExtractPipeline.diagnostics(spark, pending, cfgResolved)
@@ -260,14 +260,9 @@ trait CheckpointStore {
 
 final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends CheckpointStore {
   private val path = s"$outDir/_checkpoint"
-  private def fs = new org.apache.hadoop.fs.Path(path)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
   private val retiredPath = s"$outDir/_retired"
-
-  private def exists(p: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(p))
-  private def exists: Boolean = exists(path)
 
   // per-INSTANCE read cache of the (tiny) checkpoint/retired tables
   // (round-6 optimization): one ExtractJob.run consulted the store 4-5
@@ -277,22 +272,24 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
   // this operation's own view; every mutation through this instance
   // invalidates, and commit() always re-reads FRESH for its
   // concurrent-writer recheck.
+  //
+  // All reads and writes here go through [[MetaParquet]] (round-6): these
+  // are catalog-record operations — O(runs) rows of O(1) size — and a
+  // Spark job per consult/append was pure scheduler overhead. The files
+  // are byte-level ordinary parquet in the same layout Spark wrote, so
+  // existing stores and external `spark.read.parquet` readers are
+  // unaffected.
   private var rowsCache: Option[Array[(Long, String)]] = None
   private var retiredCache: Option[Set[Long]] = None
 
   private def checkpointRows(): Array[(Long, String)] = rowsCache.getOrElse {
-    val rows =
-      if (!exists) Array.empty[(Long, String)]
-      else spark.read.parquet(path).select("run_id", "source_fingerprint")
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = MetaParquet.readCheckpoint(path, hadoopConf)
     rowsCache = Some(rows)
     rows
   }
 
   private def retiredRunIds(): Set[Long] = retiredCache.getOrElse {
-    val ids =
-      if (!exists(retiredPath)) Set.empty[Long]
-      else spark.read.parquet(retiredPath).select("run_id").collect().map(_.getLong(0)).toSet
+    val ids = MetaParquet.readRetired(retiredPath, hadoopConf)
     retiredCache = Some(ids)
     ids
   }
@@ -319,9 +316,8 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
   override def isCommitted(runId: Long): Boolean = allRunIds().contains(runId)
 
   override def retire(runIds: Seq[Long]): Unit = {
-    import spark.implicits._
     if (runIds.nonEmpty) {
-      runIds.toDF("run_id").write.mode(SaveMode.Append).parquet(retiredPath)
+      MetaParquet.appendRetired(retiredPath, hadoopConf, runIds)
       retiredCache = None
     }
   }
@@ -334,7 +330,6 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
   }
 
   override def commit(runId: Long, docCount: Long, sourceFingerprint: String): Unit = {
-    import spark.implicits._
     // the store is SINGLE-WRITER by design (like an Iceberg catalog without
     // a lock service); this recheck turns the worst outcome of two racing
     // drivers — both allocating the same run_id via nextRunId() and silently
@@ -347,9 +342,8 @@ final class ParquetCheckpointStore(spark: SparkSession, outDir: String) extends 
         s"run_id=$runId is already committed under $outDir — concurrent writer? " +
           "ParquetCheckpointStore assumes a single driver per outDir")
     val fresh = checkpointRows() // the recheck's fresh read, kept
-    Seq((runId, docCount, sourceFingerprint, java.time.Instant.now.toString))
-      .toDF("run_id", "doc_count", "source_fingerprint", "committed_at")
-      .write.mode(SaveMode.Append).parquet(path)
+    MetaParquet.appendCommit(path, hadoopConf,
+      runId, docCount, sourceFingerprint, java.time.Instant.now.toString)
     // fold our own commit into the cache: a long-lived instance (the
     // streaming drains hold one per run()) sees its own commits without
     // re-reading; the NEXT commit's recheck still reads fresh above

@@ -61,10 +61,9 @@ object ExtractRunProbe {
               .write.mode("overwrite").parquet(s"$dir/lineage/run_id=$runId")
           }
           time(s"lap $lap hot_hosts write") {
-            import spark.implicits._
-            hotRows.map { case (h, f) =>
-              ExtractJob.HotHostRow(runId, h, f, true) }.toDS().toDF()
-              .write.mode("overwrite").parquet(s"$dir/hot_hosts/run_id=$runId")
+            graft.spark.MetaParquet.writeHotHosts(s"$dir/hot_hosts/run_id=$runId",
+              spark.sparkContext.hadoopConfiguration,
+              hotRows.map { case (h, f) => ExtractJob.HotHostRow(runId, h, f, true) })
           }
           time(s"lap $lap commit") {
             store.commit(runId, obs.get("docs").asInstanceOf[Long], "probe")
