@@ -157,9 +157,17 @@ object ExtractPipeline {
     val sampled = pages.select("url")
       .sample(withReplacement = false, cfg.sampleFraction, seed = 42)
       .as[String]
-    val actualParts = math.max(1, sampled.rdd.getNumPartitions)
-    val cap = math.max(1, cfg.maxSampleRows / actualParts)
-    val sample = sampled.mapPartitions(_.take(cap)) // early-exit per split: bounded AND unbiased
+    // per-split cap from TaskContext.numPartitions — the ACTUAL split count
+    // of the executing stage (round-6: the old `sampled.rdd.getNumPartitions`
+    // probe forced AQE to materialize the plan's shuffle stages — for a
+    // resuming run that pre-executed the committed-urls anti-join once more
+    // per run, just to learn a partition count the task itself knows)
+    val maxRows = cfg.maxSampleRows
+    val sample = sampled.mapPartitions { it => // early-exit per split: bounded AND unbiased
+      val cap = math.max(1,
+        maxRows / math.max(1, org.apache.spark.TaskContext.get().numPartitions()))
+      it.take(cap)
+    }
     val counts = sample.toDF("url")
       .select(hostCol(col("url")).as("host"))
       .groupBy("host").count()

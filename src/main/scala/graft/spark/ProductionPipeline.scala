@@ -94,6 +94,7 @@ object ProductionPipeline {
       // while real near-dups still collide
       val committed = corpus.filter(pmod(col("id"), lit(2)) === 0)
       val fresh = corpus.filter(pmod(col("id"), lit(2)) === 1)
+      var benchDocs = 0L // observed during the survivor write below
       val (nearDropped, survivors) = stage("neardup-probe") {
         Dedup.writeMinhashIndex(committed, "id", "text", tbl,
           shingleK = 7, bands = 16, rowsPerBand = 4, buckets = 8)
@@ -110,8 +111,15 @@ object ProductionPipeline {
           .observe(obs, count(lit(1)).as("n"))
           .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_neardup_ids")
         val nearDupIds = s.read.parquet(s"$dir/stage_neardup_ids")
+        // the report's bench_docs count rides this write via observe
+        // (round-6: survivors ≡ the written rows, and the later
+        // bench.count() re-scanned the staged table for one number)
+        val obsSurv = org.apache.spark.sql.Observation("x33_surv")
         committed.unionByName(fresh.join(nearDupIds, Seq("id"), "left_anti"))
+          .observe(obsSurv, coalesce(sum(when(
+            pmod(col("id"), lit(17)) === 3, 1L).otherwise(0L)), lit(0L)).as("bench_docs"))
           .hint("rebalance").write.mode("overwrite").parquet(s"$dir/stage_neardup")
+        benchDocs = obsSurv.get("bench_docs").asInstanceOf[Long]
         (obs.get("n").asInstanceOf[Long], s.read.parquet(s"$dir/stage_neardup"))
       }
       // stage 6: decontamination against a held-out eval slice
@@ -173,7 +181,7 @@ object ProductionPipeline {
         stage("report") {
           Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
             linesRemoved, corpusCount, nearDropped, deconDropped,
-            lmDropped, bench.count(), mixedN, packedDocs, bins, tokens))
+            lmDropped, benchDocs, mixedN, packedDocs, bins, tokens))
             .toDF("runs", "resumed_docs", "extracted_ok", "ingested",
               "lines_removed", "exact_deduped", "neardup_dropped",
               "decon_dropped", "lm_dropped", "bench_docs", "mixed_docs",

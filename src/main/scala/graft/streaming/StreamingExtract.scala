@@ -104,12 +104,16 @@ object StreamingExtract {
         val df = batch.toDF().withColumn("partition_id", spark_partition_id())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          df.write.mode("overwrite").parquet(s"$outDir/extracted/run_id=$batchId")
+          // the commit's doc count rides the extracted write via observe
+          // (round-6: the separate df.count() was one more job per batch)
+          val obs = org.apache.spark.sql.Observation(s"extract_batch_$batchId")
+          df.observe(obs, count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$outDir/extracted/run_id=$batchId")
           graft.spark.ExtractJob.lineageAgg(df)
             .write.mode("overwrite").parquet(s"$outDir/lineage/run_id=$batchId")
           val store = new graft.spark.ParquetCheckpointStore(spark, outDir)
           if (!store.isCommitted(batchId))
-            store.commit(batchId, df.count(), s"stream:batch=$batchId")
+            store.commit(batchId, obs.get("n").asInstanceOf[Long], s"stream:batch=$batchId")
         } finally { df.unpersist(false); () }
       }
       .start()
