@@ -158,11 +158,16 @@ object ProductionPipeline {
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val (mixedN, capped) = stage("mix+cap") {
+        // the mixed-docs count rides the pack action via observe (round-6:
+        // the old mixed.count() was its own job; capPerStratum/packSequences
+        // each consume their input exactly once, so the CollectMetrics node
+        // fires exactly once, at the pack aggregation)
+        val obsMix = org.apache.spark.sql.Observation("x33_mix")
+        val capped = stage("mix+cap") {
           val mixed = Sampling.stratifiedSample(withLang, "id", "lang",
-            Map("en" -> 0.7), defaultRate = 0.9)
-          (mixed.count(),
-            Sampling.capPerStratum(mixed, "id", "lang", "quality", k = 50))
+              Map("en" -> 0.7), defaultRate = 0.9)
+            .observe(obsMix, count(lit(1)).as("n"))
+          Sampling.capPerStratum(mixed, "id", "lang", "quality", k = 50)
         }
         // stage 9: sequence packing over BPE token counts. ONE conditional
         // aggregation replaces the old three actions (count, distinct
@@ -179,6 +184,7 @@ object ProductionPipeline {
           (r.getLong(0), r.getLong(1), r.getLong(2))
         }
         stage("report") {
+          val mixedN = obsMix.get("n").asInstanceOf[Long] // completed at pack
           Seq((r2.runId + 1, r2.newDocs, extractedOk, extractedOk + n / 2,
             linesRemoved, corpusCount, nearDropped, deconDropped,
             lmDropped, benchDocs, mixedN, packedDocs, bins, tokens))
