@@ -60,16 +60,32 @@ object MetaParquet {
   private def fs(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
 
-  private def newFile(dir: String): Path =
-    new Path(dir, s"part-${java.util.UUID.randomUUID}.parquet")
-
-  private def writer(dir: String, schema: MessageType, conf: Configuration) =
-    ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(newFile(dir), conf))
+  /** Crash-atomic file append: the rows are written to a DOT-prefixed temp
+    * name (hidden — skipped by [[dataFiles]] AND by Spark's own reader),
+    * then renamed to its final `part-<uuid>.parquet` name only after the
+    * footer is on disk. A crash mid-write therefore leaves an invisible
+    * `.tmp` orphan, never a truncated visible file — the same guarantee
+    * the Spark committer's `_temporary` + rename protocol provided for
+    * these dirs before (review finding: a direct-at-final-path write
+    * would have bricked every later read of the store on a mid-write
+    * driver kill). Rename is atomic on HDFS and local fs. */
+  private def writeFile(
+      dir: String, schema: MessageType, conf: Configuration)(
+      rows: SimpleGroupFactory => Iterator[Group]): Unit = {
+    val uuid = java.util.UUID.randomUUID
+    val tmp = new Path(dir, s".part-$uuid.parquet.tmp")
+    val fin = new Path(dir, s"part-$uuid.parquet")
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(tmp, conf))
       .withConf(conf)
       .withType(schema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
+    try rows(new SimpleGroupFactory(schema)).foreach(w.write)
+    finally w.close()
+    if (!fs(dir, conf).rename(tmp, fin))
+      throw new java.io.IOException(s"rename $tmp -> $fin failed")
+  }
 
   /** Every data file of a metadata dir (skips _SUCCESS and hidden files);
     * empty when the dir does not exist. */
@@ -117,25 +133,21 @@ object MetaParquet {
   /** Append ONE commit record (the store's SaveMode.Append equivalent). */
   def appendCommit(
       dir: String, conf: Configuration,
-      runId: Long, docCount: Long, fingerprint: String, committedAt: String): Unit = {
-    val w = writer(dir, checkpointSchema, conf)
-    try {
-      val g = new SimpleGroupFactory(checkpointSchema).newGroup()
+      runId: Long, docCount: Long, fingerprint: String, committedAt: String): Unit =
+    writeFile(dir, checkpointSchema, conf) { f =>
+      val g = f.newGroup()
       g.add("run_id", runId)
       g.add("doc_count", docCount)
       g.add("source_fingerprint", fingerprint)
       g.add("committed_at", committedAt)
-      w.write(g)
-    } finally w.close()
-  }
+      Iterator.single(g)
+    }
 
   def appendRetired(dir: String, conf: Configuration, runIds: Seq[Long]): Unit = {
     if (runIds.isEmpty) return
-    val w = writer(dir, retiredSchema, conf)
-    try {
-      val f = new SimpleGroupFactory(retiredSchema)
-      runIds.foreach { id => val g = f.newGroup(); g.add("run_id", id); w.write(g) }
-    } finally w.close()
+    writeFile(dir, retiredSchema, conf) { f =>
+      runIds.iterator.map { id => val g = f.newGroup(); g.add("run_id", id); g }
+    }
   }
 
   /** Overwrite the per-run salting-audit table (written even when empty so
@@ -146,17 +158,15 @@ object MetaParquet {
     val f = fs(dir, conf)
     val p = new Path(dir)
     if (f.exists(p)) f.delete(p, true)
-    val w = writer(dir, hotHostSchema, conf)
-    try {
-      val gf = new SimpleGroupFactory(hotHostSchema)
-      rows.foreach { r =>
+    writeFile(dir, hotHostSchema, conf) { gf =>
+      rows.iterator.map { r =>
         val g = gf.newGroup()
         g.add("run_id", r.run_id)
         if (r.host != null) g.add("host", r.host)
         if (r.est_fraction != null) g.add("est_fraction", r.est_fraction.doubleValue)
         g.add("salted", r.salted)
-        w.write(g)
+        g
       }
-    } finally w.close()
+    }
   }
 }

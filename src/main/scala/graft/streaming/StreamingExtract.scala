@@ -97,6 +97,11 @@ object StreamingExtract {
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
     val streamCfg = withDerivedHotHosts(spark, inDir, cfg)
     val extracted = ExtractPipeline.extract(spark, pages, streamCfg)
+    // ONE store instance per drain (the StreamingNearDup pattern): commit()
+    // folds each batch's record into the instance cache, so later batches'
+    // isCommitted checks don't re-read the checkpoint table they just
+    // extended (review finding: a fresh per-batch store re-read it B times)
+    val store = new graft.spark.ParquetCheckpointStore(spark, outDir)
     extracted.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -111,7 +116,6 @@ object StreamingExtract {
             .write.mode("overwrite").parquet(s"$outDir/extracted/run_id=$batchId")
           graft.spark.ExtractJob.lineageAgg(df)
             .write.mode("overwrite").parquet(s"$outDir/lineage/run_id=$batchId")
-          val store = new graft.spark.ParquetCheckpointStore(spark, outDir)
           if (!store.isCommitted(batchId))
             store.commit(batchId, obs.get("n").asInstanceOf[Long], s"stream:batch=$batchId")
         } finally { df.unpersist(false); () }

@@ -59,6 +59,23 @@ class MetaParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MetaParquet.readCheckpoint(s"$dir/absent", conf).isEmpty)
   }
 
+  test("a crash mid-write leaves only an invisible temp orphan, never a truncated table") {
+    val dir = tmp("meta_crash")
+    val p = s"$dir/_checkpoint"
+    MetaParquet.appendCommit(p, conf, 0L, 10L, "fp", "2026-01-01T00:00:00Z")
+    // simulate the crash window: a dot-prefixed .tmp with a truncated
+    // (footer-less) body, exactly what a killed writer leaves behind
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p, ".part-dead.parquet.tmp"), Array[Byte](80, 65, 82))
+    // both readers skip it; the committed record is intact
+    assert(MetaParquet.readCheckpoint(p, conf).toSeq == Seq((0L, "fp")))
+    assert(spark.read.parquet(p).count() == 1)
+    // and a successful write leaves no temp files at all
+    val names = new java.io.File(p).listFiles().map(_.getName).toSeq
+    assert(names.count(_.endsWith(".tmp")) == 1) // only the planted orphan
+    assert(names.count(n => n.startsWith("part-") && n.endsWith(".parquet")) == 1)
+  }
+
   test("retired: append accumulates and interops with Spark-written rows") {
     val dir = tmp("meta_retired")
     val p = s"$dir/_retired"
